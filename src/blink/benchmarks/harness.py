@@ -1,0 +1,120 @@
+"""Benchmark harness (SURVEY.md §2 "Benchmark harness"; BASELINE.json:2).
+
+Measures rays/s for forward and forward+backward passes per config and
+emits a BASELINE-comparable dict. The headline metric is primary rays/s per
+chip forward on the 1M-triangle scene (target 1e9, BASELINE.json:5); the
+judge-facing single line is printed by /root/repo/bench.py.
+
+Includes the roofline sanity analysis required by SURVEY.md §7.2.3: bytes
+of BVH-node + triangle traffic per ray vs HBM bandwidth.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, *args, warmup: int = 1, iters: int = 3) -> float:
+    """Median wall-clock seconds of fn(*args) after warmup (jit-compiled)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def bench_render(scene, cfg, backend=None) -> dict[str, Any]:
+    """Forward rays/s for one config."""
+    from blink.kernels.api import make_backend
+    from blink.render.api import _render_jit
+
+    if backend is None:
+        backend = make_backend(cfg.backend, scene)
+    dt = _time(lambda: _render_jit(scene, cfg, backend))
+    # Primary rays only (the BASELINE.json:5 metric); path bounces do more
+    # total intersection work — reported separately as traced_rays.
+    rays = cfg.width * cfg.height * cfg.spp
+    depth = cfg.max_depth if cfg.integrator == "path" else 1
+    return {
+        "wall_s": dt,
+        "rays": rays,
+        "rays_per_s": rays / dt,
+        "traced_rays_per_s": rays * depth / dt,
+    }
+
+
+def bench_render_grad(scene, cfg, param_names=("albedo",), backend=None) -> dict[str, Any]:
+    """Forward+backward rays/s for one config."""
+    import functools
+
+    from blink.api import extract_params, loss_fn
+    from blink.kernels.api import make_backend
+
+    if backend is None:
+        backend = make_backend(cfg.backend, scene)
+    params = extract_params(scene, tuple(param_names))
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def vg(params, scene, cfg, backend, target):
+        return jax.value_and_grad(loss_fn)(params, scene, cfg, backend, target)
+
+    dt = _time(lambda: vg(params, scene, cfg, backend, target))
+    rays = cfg.width * cfg.height * cfg.spp
+    return {"wall_s": dt, "rays": rays, "rays_per_s_fwd_bwd": rays / dt}
+
+
+def roofline(n_tris: int, rays_per_s: float, hbm_gbps: float = 819.0) -> dict[str, Any]:
+    """Speed-of-light sanity: HBM bytes/ray budget at measured throughput.
+
+    v5e HBM ~819 GB/s. A BVH walk touches ~`nodes_per_ray` 32 B nodes and a
+    few 36 B triangles; the budget line says what byte/ray cost the measured
+    rate implies and what the SOL rate would be at the nominal cost.
+    """
+    nominal_bytes_per_ray = 24 * 32 + 8 * 36  # ~1.1 KB: 24 nodes + 8 tris
+    implied_bytes_per_ray = hbm_gbps * 1e9 / max(rays_per_s, 1.0)
+    sol_rays_per_s = hbm_gbps * 1e9 / nominal_bytes_per_ray
+    return {
+        "hbm_gbps": hbm_gbps,
+        "nominal_bytes_per_ray": nominal_bytes_per_ray,
+        "implied_bytes_per_ray": implied_bytes_per_ray,
+        "sol_rays_per_s_at_nominal": sol_rays_per_s,
+        "fraction_of_sol": rays_per_s / sol_rays_per_s,
+    }
+
+
+def run_bench(config_name: str = "sponza", quick: bool = False) -> dict[str, Any]:
+    """CLI entry: benchmark one named config (forward, and fwd+bwd for the
+    differentiable configs)."""
+    from blink.api import build_scene
+    from blink.config import get_config
+
+    cfg = get_config(config_name)
+    if quick:
+        cfg = cfg.override(
+            width=min(cfg.width, 256),
+            height=min(cfg.height, 256),
+            spp=min(cfg.spp, 4),
+            sponza_tris=min(cfg.sponza_tris, 100_000),
+        )
+    scene = build_scene(cfg)
+    out: dict[str, Any] = {
+        "config": config_name,
+        "quick": quick,
+        "n_triangles": scene.n_triangles,
+        "n_spheres": scene.n_spheres,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    out["forward"] = bench_render(scene, cfg)
+    if config_name in ("cornell", "fit"):
+        out["fwd_bwd"] = bench_render_grad(scene, cfg, ("sphere_center", "albedo"))
+    out["roofline"] = roofline(scene.n_triangles, out["forward"]["rays_per_s"])
+    return out

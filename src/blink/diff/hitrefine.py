@@ -1,0 +1,124 @@
+"""Differentiable hit refinement at fixed topology.
+
+This is the heart of the differentiation design (SURVEY.md §3.2,
+BASELINE.json:5 "custom VJPs through the intersection ... gradients back
+through hit records"): traversal returns integer topology (kind, prim); this
+module re-derives every geometric quantity (t, point, normal, uv) in closed
+form from (ray, prim, scene-params) so plain JAX autodiff produces exact
+geometry/camera gradients at fixed hit topology. The gather of primitive
+parameters here is what the backward pass turns into segment-sum scatters
+over primitives (handled by XLA's gather-transpose; see diff/scatter.py for
+the explicit form used by the Pallas path).
+
+Both primitive hypotheses (sphere and triangle) are evaluated branchlessly
+and selected by `kind` — no data-dependent control flow under jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from blink.core import vec
+from blink.core.struct import pytree_dataclass
+from blink.kernels.sphere import sphere_t
+from blink.kernels.triangle import triangle_tuv
+from blink.kernels.types import Hit, KIND_SPHERE, KIND_TRI, T_MAX, T_MIN
+from blink.scene.scene import Scene
+from blink.scene.textures import sample_texture
+
+Array = jnp.ndarray
+
+
+@pytree_dataclass
+class HitGeom:
+    """Differentiable per-ray shading geometry. All shapes (N, ...)."""
+
+    valid: Array  # (N,) bool — ray hit something
+    t: Array  # (N,) differentiable hit distance (T_MAX on miss)
+    p: Array  # (N,3) hit point
+    n: Array  # (N,3) unit normal, flipped to face the incoming ray
+    uv: Array  # (N,2) texture coordinates
+    mat: Array  # (N,) i32 material id
+    albedo: Array  # (N,3) textured albedo
+    emission: Array  # (N,3) emitted radiance (two-sided)
+
+
+def refine(o: Array, d: Array, hit: Hit, scene: Scene) -> HitGeom:
+    """Re-derive differentiable geometry from integer topology.
+
+    o, d: (N,3) rays. hit: topology from any traversal backend. The result
+    is exact for the primitive the traversal selected; misses produce zeroed
+    fields with valid=False.
+    """
+    n_rays = o.shape[0]
+    prim = jax.lax.stop_gradient(hit.prim)
+    kind = jax.lax.stop_gradient(hit.kind)
+    is_s = kind == KIND_SPHERE
+    is_t = kind == KIND_TRI
+    valid = is_s | is_t
+
+    t = jnp.full((n_rays,), T_MAX, jnp.float32)
+    nrm = jnp.zeros((n_rays, 3), jnp.float32)
+    uv = jnp.zeros((n_rays, 2), jnp.float32)
+    mat = jnp.zeros((n_rays,), jnp.int32)
+
+    if scene.n_spheres > 0:
+        sp = jnp.clip(prim, 0, scene.n_spheres - 1)
+        c = scene.spheres.center[sp]
+        r = scene.spheres.radius[sp]
+        ts = sphere_t(o, d, c, r, T_MIN)  # same root-selection as forward
+        ps = o + ts[..., None] * d
+        ns = (ps - c) / jnp.maximum(r, vec.EPS)[..., None]
+        # Spherical uv (matches builders.icosphere parameterization).
+        us = 0.5 + jnp.arctan2(ns[..., 2], ns[..., 0]) / (2.0 * jnp.pi)
+        vs = 0.5 + jnp.arcsin(jnp.clip(ns[..., 1], -1.0, 1.0)) / jnp.pi
+        t = jnp.where(is_s, ts, t)
+        nrm = jnp.where(is_s[..., None], ns, nrm)
+        uv = jnp.where(is_s[..., None], jnp.stack([us, vs], -1), uv)
+        mat = jnp.where(is_s, scene.spheres.material_id[sp], mat)
+
+    if scene.n_triangles > 0:
+        tris = scene.triangles
+        tp = jnp.clip(prim, 0, scene.n_triangles - 1)
+        i0 = tris.idx[tp, 0]
+        i1 = tris.idx[tp, 1]
+        i2 = tris.idx[tp, 2]
+        v0 = tris.verts[i0]
+        e1 = tris.verts[i1] - v0
+        e2 = tris.verts[i2] - v0
+        tt, bu, bv = triangle_tuv(o, d, v0, e1, e2, T_MIN)
+        ng = vec.normalize(vec.cross(e1, e2))
+        uv_tri = (
+            (1.0 - bu - bv)[..., None] * tris.uv[i0]
+            + bu[..., None] * tris.uv[i1]
+            + bv[..., None] * tris.uv[i2]
+        )
+        t = jnp.where(is_t, tt, t)
+        nrm = jnp.where(is_t[..., None], ng, nrm)
+        uv = jnp.where(is_t[..., None], uv_tri, uv)
+        mat = jnp.where(is_t, tris.material_id[tp], mat)
+
+    # Guard: if refinement disagrees with traversal (measure-zero edge),
+    # treat as miss rather than produce garbage gradients.
+    valid = valid & (t < T_MAX)
+    t_safe = jnp.where(valid, t, 0.0)
+    p = o + t_safe[..., None] * d
+    # Face the normal against the incoming direction (two-sided shading).
+    flip = jnp.where(vec.vdot(nrm, d) > 0.0, -1.0, 1.0)
+    nrm = nrm * flip[..., None]
+
+    albedo = scene.materials.albedo[mat]
+    tex = sample_texture(scene.textures, scene.materials.texture_id[mat], uv)
+    albedo = albedo * tex
+    emission = scene.materials.emission[mat]
+    vmask = valid[..., None]
+    return HitGeom(
+        valid=valid,
+        t=jnp.where(valid, t, T_MAX),
+        p=jnp.where(vmask, p, 0.0),
+        n=jnp.where(vmask, nrm, 0.0),
+        uv=jnp.where(vmask, uv, 0.0),
+        mat=jnp.where(valid, mat, 0),
+        albedo=jnp.where(vmask, albedo, 0.0),
+        emission=jnp.where(vmask, emission, 0.0),
+    )

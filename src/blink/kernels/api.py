@@ -1,0 +1,65 @@
+"""Backend: traversal implementation selector + its acceleration data
+(SURVEY.md §2 "Intersection kernels"; L3 public interface).
+
+A Backend is a pytree (so its BVH arrays flow through jit/shard_map as
+arguments, never baked as constants) whose static `name` picks the
+implementation:
+
+  brute  — intersect-all-primitives (oracle; any scene, O(N*P))
+  bvh    — pure-JAX stackless skip-link BVH traversal over triangles
+           (spheres are always handled analytically: spec scenes have <=8)
+  pallas — Pallas TPU packet-traversal kernels over the same BVH arrays
+
+All backends return identical topology (tested in tests/test_bvh.py and
+tests/tpu/test_pallas_parity.py).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from blink.core.struct import pytree_dataclass, static_field
+from blink.kernels.bruteforce import intersect_brute, occluded_brute
+from blink.kernels.types import Hit
+from blink.scene.scene import Scene
+
+Array = jnp.ndarray
+
+
+@pytree_dataclass
+class Backend:
+    name: str = static_field(default="brute")
+    bvh: Any = None  # FlatBVH pytree for bvh/pallas backends
+
+    def intersect(self, o: Array, d: Array, scene: Scene) -> Hit:
+        if self.name == "brute":
+            return intersect_brute(o, d, scene)
+        from blink.kernels.traverse import intersect_bvh
+
+        return intersect_bvh(
+            o, d, scene, self.bvh, use_pallas=self.name == "pallas"
+        )
+
+    def occluded(self, o: Array, d: Array, scene: Scene, t_far: Array) -> Array:
+        if self.name == "brute":
+            return occluded_brute(o, d, scene, t_far)
+        from blink.kernels.traverse import occluded_bvh
+
+        return occluded_bvh(
+            o, d, scene, self.bvh, t_far, use_pallas=self.name == "pallas"
+        )
+
+
+def make_backend(name: str, scene: Scene) -> Backend:
+    if name == "auto":
+        name = "bvh" if scene.n_triangles > 64 else "brute"
+    if name == "brute":
+        return Backend(name="brute", bvh=None)
+    if name in ("bvh", "pallas"):
+        try:
+            from blink.bvh import build_flat_bvh
+        except ImportError:  # traversal layer not built yet (M2 milestone)
+            return Backend(name="brute", bvh=None)
+        return Backend(name=name, bvh=build_flat_bvh(scene.triangles))
+    raise KeyError(f"unknown backend '{name}'")

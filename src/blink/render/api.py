@@ -1,0 +1,75 @@
+"""L5 rendering pipeline entry: render an image from a Scene + RenderConfig
+(SURVEY.md §3.1). The whole spp/bounce loop is one jitted XLA program; the
+host dispatches exactly once per render (megakernel-free wavefront form:
+separate kernels per stage inside one program, BASELINE.json:5).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from blink.config import RenderConfig
+from blink.render.camera import generate_rays
+from blink.render.integrators import INTEGRATORS, li_path
+from blink.scene.scene import Scene
+
+Array = jnp.ndarray
+
+
+def render_rays(
+    o: Array,
+    d: Array,
+    keys: Array,
+    scene: Scene,
+    backend,
+    integrator: str,
+    max_depth: int,
+    deterministic: bool = False,
+) -> Array:
+    """Radiance for an arbitrary ray batch (the unit the wavefront shards)."""
+    if integrator == "path":
+        return li_path(o, d, keys, scene, backend, max_depth, deterministic)
+    return INTEGRATORS[integrator](o, d, keys, scene, backend, deterministic)
+
+
+def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
+    """Accumulated (H, W, 3) radiance image. Jit-safe; cfg is static."""
+    h, w, spp = cfg.height, cfg.width, cfg.spp
+    key = jax.random.key(cfg.seed)
+
+    def one_sample(s):
+        jitter = cfg.jitter and not cfg.deterministic
+        o, d, pkeys = generate_rays(scene.camera, h, w, key, s, jitter)
+        return render_rays(
+            o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
+            cfg.deterministic,
+        )
+
+    def body(s, acc):
+        return acc + one_sample(s)
+
+    # Accumulate in whatever dtype the pipeline produces (f32 normally; f64
+    # end-to-end when the scene is cast for FD validation).
+    sample0 = jax.eval_shape(one_sample, jnp.int32(0))
+    acc = jax.lax.fori_loop(
+        0, spp, body, jnp.zeros((h * w, 3), sample0.dtype)
+    )
+    return (acc / spp).reshape(h, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_jit(scene: Scene, cfg: RenderConfig, backend) -> Array:
+    # `backend` is a pytree: its BVH arrays are jit *arguments* (device
+    # resident, donate-able) — never baked into the program as constants.
+    return render_image(scene, cfg, backend)
+
+
+def render(scene: Scene, cfg: RenderConfig, backend=None) -> Array:
+    """User-facing render. Builds the backend if not supplied."""
+    if backend is None:
+        from blink.kernels.api import make_backend
+
+        backend = make_backend(cfg.backend, scene)
+    return _render_jit(scene, cfg, backend)

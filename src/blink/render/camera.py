@@ -1,0 +1,62 @@
+"""Pinhole camera ray generation (SURVEY.md §2 "Camera ray gen").
+
+Differentiable w.r.t. camera origin, look_at, up, and fov. Pixel jitter is
+drawn from the counter-based sampler keyed by (pixel_id, sample_idx) so
+renders are reproducible under any ray sharding (BASELINE.json:5).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from blink.core import sampler, vec
+from blink.scene.scene import Camera
+
+Array = jnp.ndarray
+
+
+def camera_basis(cam: Camera):
+    fwd = vec.normalize(cam.look_at - cam.origin)
+    right = vec.normalize(vec.cross(fwd, cam.up))
+    up = vec.cross(right, fwd)
+    return fwd, right, up
+
+
+def generate_rays(
+    cam: Camera,
+    height: int,
+    width: int,
+    seed_key: Array,
+    sample_idx,
+    jitter: bool = True,
+):
+    """Primary rays for every pixel of one spp sample.
+
+    Returns (o, d, pixel_keys): o/d (H*W, 3) with d unit length, and the
+    per-(pixel, sample) RNG keys for downstream sampling dimensions.
+    """
+    n = height * width
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    pixel_keys = jax.vmap(lambda p: sampler.pixel_key(seed_key, p, sample_idx))(
+        pixel_id
+    )
+    if jitter:
+        uv = jax.vmap(lambda k: sampler.uniform(k, (2,), dim=0))(pixel_keys)
+        jx, jy = uv[:, 0], uv[:, 1]
+    else:
+        jx = jnp.full((n,), 0.5, jnp.float32)
+        jy = jnp.full((n,), 0.5, jnp.float32)
+
+    i = (pixel_id // width).astype(jnp.float32)  # row
+    j = (pixel_id % width).astype(jnp.float32)  # col
+    half_h = jnp.tan(jnp.deg2rad(cam.fov_deg) * 0.5)
+    aspect = width / height
+    ndc_x = ((j + jx) / width * 2.0 - 1.0) * half_h * aspect
+    ndc_y = (1.0 - (i + jy) / height * 2.0) * half_h
+
+    fwd, right, up = camera_basis(cam)
+    d = vec.normalize(
+        fwd[None, :] + ndc_x[:, None] * right[None, :] + ndc_y[:, None] * up[None, :]
+    )
+    o = jnp.broadcast_to(cam.origin, d.shape)
+    return o, d, pixel_keys

@@ -1,0 +1,188 @@
+"""Integrators: primary/direct Lambertian and depth-k path tracing with NEE
+(SURVEY.md §2 "Integrators"; BASELINE.json:7,8,10).
+
+All integrators are branchless over ray state (alive masks, not control
+flow) and take an intersection `Backend` (brute force, JAX BVH, or Pallas
+BVH) so the same estimator runs against every traversal implementation —
+that is what the parity tests in tests/ compare.
+
+Light strategy: pure next-event estimation — emission is only counted on
+camera-visible emitters (bounce 0); every path vertex adds one NEE sample
+(uniform light choice, area sampling). Unbiased for diffuse scenes and much
+lower variance than BSDF sampling at the spec's spp counts.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from blink.core import sampler, vec
+from blink.diff.brdf import INV_PI, sample_cosine
+from blink.diff.hitrefine import HitGeom, refine
+from blink.sampling.lights import sample_light_point
+from blink.scene.scene import Scene
+
+# Backend (the intersection implementation pytree) is defined in
+# blink.kernels.api; integrators use it by duck typing to keep the layer
+# dependency strictly downward (SURVEY.md §1).
+
+Array = jnp.ndarray
+
+#: normal offset applied to secondary/shadow ray origins.
+RAY_EPS = 1e-3
+
+
+#: fixed barycentrics that place a triangle-light sample at its centroid
+#: (u1 = 4/9, u2 = 1/2 under the sqrt warp). Used by deterministic mode and
+#: mirrored exactly by the numpy oracle (blink.ref.renderer).
+DET_U1 = 4.0 / 9.0
+DET_U2 = 0.5
+
+
+def _light_contrib(
+    scene: Scene, geom: HitGeom, backend, light: Array, u1: Array, u2: Array
+) -> Array:
+    """Shadow-ray-tested contribution of one sampled light point (pdf-area
+    weighted, no light-choice factor)."""
+    p_l, n_l, pdf_area, mat_l = sample_light_point(scene, light, u1, u2)
+    to_l = p_l - geom.p
+    dist2 = vec.vdot(to_l, to_l)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    wi = to_l / dist[..., None]
+    cos_s = jnp.maximum(vec.vdot(geom.n, wi), 0.0)
+    cos_l = jnp.abs(vec.vdot(n_l, wi))  # two-sided emitters
+    emit = scene.materials.emission[mat_l]
+
+    shadow_o = geom.p + geom.n * RAY_EPS
+    t_far = jax.lax.stop_gradient(dist) * (1.0 - 1e-3)
+    blocked = backend.occluded(shadow_o, wi, scene, t_far)
+
+    geom_term = cos_s * cos_l / jnp.maximum(dist2, 1e-8)
+    weight = geom_term / jnp.maximum(pdf_area, vec.EPS)
+    f = geom.albedo * INV_PI
+    contrib = f * emit * weight[..., None]
+    active = geom.valid & ~blocked
+    return jnp.where(active[..., None], contrib, 0.0)
+
+
+def nee_direct(
+    scene: Scene, geom: HitGeom, keys: Array, backend, bounce,
+    deterministic: bool = False,
+) -> Array:
+    """Next-event estimate of direct lighting at each hit.
+
+    Stochastic mode: one sample, uniform light choice. Deterministic mode
+    (golden images, FD validation — SURVEY.md §4.4-4.5): sum over every
+    light sampled at a fixed interior point; a smooth, noise-free function
+    of the scene parameters.
+    """
+    n = geom.t.shape[0]
+    if scene.n_lights == 0:
+        return jnp.zeros((n, 3), jnp.float32)
+    n_lights = scene.n_lights
+    if deterministic:
+        total = jnp.zeros((n, 3), jnp.float32)
+        u1 = jnp.full((n,), DET_U1, jnp.float32)
+        u2 = jnp.full((n,), DET_U2, jnp.float32)
+        for l in range(n_lights):  # static unroll; spec scenes have few lights
+            light = jnp.full((n,), l, jnp.int32)
+            total = total + _light_contrib(scene, geom, backend, light, u1, u2)
+        return total
+    bk = jax.vmap(lambda k: sampler.bounce_key(k, bounce))(keys)
+    u = jax.vmap(lambda k: sampler.uniform(k, (3,), dim=0))(bk)
+    light = jnp.minimum(
+        jnp.asarray(u[:, 0] * n_lights, jnp.int32), n_lights - 1
+    )
+    contrib = _light_contrib(scene, geom, backend, light, u[:, 1], u[:, 2])
+    return contrib * n_lights  # 1 / P(choose light)
+
+
+def li_direct(
+    o: Array, d: Array, keys: Array, scene: Scene, backend,
+    deterministic: bool = False,
+) -> Array:
+    """Emission + direct lighting (configs 1-2: BASELINE.json:7,8)."""
+    hit = backend.intersect(o, d, scene)
+    geom = refine(o, d, hit, scene)
+    return geom.emission + nee_direct(
+        scene, geom, keys, backend, bounce=0, deterministic=deterministic
+    )
+
+
+def li_path(
+    o: Array,
+    d: Array,
+    keys: Array,
+    scene: Scene,
+    backend,
+    max_depth: int = 4,
+    deterministic: bool = False,
+) -> Array:
+    """Path tracing to `max_depth` with NEE at each vertex (config 4).
+
+    Wavefront form as a lax.fori_loop over bounces: the whole ray batch is
+    carried with an alive mask (the Pallas/compaction backend reorders live
+    rays between bounces without changing this estimator — RNG is keyed by
+    pixel id, not position in the batch).
+    """
+    n = o.shape[0]
+
+    def body(b, state):
+        o, d, beta, radiance, alive = state
+        hit = backend.intersect(o, d, scene)
+        geom = refine(o, d, hit, scene)
+        alive = alive & geom.valid
+
+        # Camera-visible emitters only (NEE covers indirect emitter hits).
+        is_first = b == 0
+        radiance = radiance + jnp.where(
+            (alive & is_first)[..., None], geom.emission, 0.0
+        )
+        nee = nee_direct(
+            scene, geom, keys, backend, bounce=b, deterministic=deterministic
+        )
+        radiance = radiance + jnp.where(alive[..., None], beta * nee, 0.0)
+
+        # Cosine-sample the next direction; f*cos/pdf = albedo exactly.
+        bk = jax.vmap(lambda k: sampler.bounce_key(k, b))(keys)
+        u = jax.vmap(lambda k: sampler.uniform(k, (2,), dim=1))(bk)
+        new_d = sample_cosine(geom.n, u[:, 0], u[:, 1])
+        new_o = geom.p + geom.n * RAY_EPS
+        beta = beta * geom.albedo
+        # Kill paths with (near-)zero throughput (emitters have albedo 0).
+        alive = alive & (jnp.max(beta, axis=-1) > 1e-5)
+        o = jnp.where(alive[..., None], new_o, o)
+        d = jnp.where(alive[..., None], new_d, d)
+        return o, d, beta, radiance, alive
+
+    # Dtype-stable carry: probe what one bounce produces (f32 normally, f64
+    # under the FD-validation configuration) so the fori_loop carry matches.
+    probe = jax.eval_shape(
+        lambda oo, dd: nee_direct(
+            scene,
+            refine(oo, dd, backend.intersect(oo, dd, scene), scene),
+            keys,
+            backend,
+            0,
+            deterministic,
+        ),
+        o,
+        d,
+    )
+    dt = probe.dtype
+    state = (
+        o.astype(dt),
+        d.astype(dt),
+        jnp.ones((n, 3), dt),
+        jnp.zeros((n, 3), dt),
+        jnp.ones((n,), bool),
+    )
+    _, _, _, radiance, _ = jax.lax.fori_loop(0, max_depth, body, state)
+    return radiance
+
+
+INTEGRATORS = {
+    "primary": li_direct,
+    "direct": li_direct,
+    "path": li_path,
+}

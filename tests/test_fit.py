@@ -1,0 +1,84 @@
+"""Integration: inverse rendering recovers perturbed scene parameters
+(config 3, BASELINE.json:9; SURVEY.md §4.6).
+
+Albedo recovery exercises the smooth part of the differentiation layer
+(exact fixed-topology gradients). Sphere-position recovery additionally
+needs silhouette (visibility-edge) gradients — provided by the soft-
+visibility mode (blink.diff.soft) — and is tested in test_fit_positions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blink.api import build_scene, fit
+from blink.config import FitConfig, get_config
+from blink.render.api import render
+
+
+def test_fit_recovers_albedo(tmp_path):
+    cfg = get_config("fit").override(
+        width=32, height=32, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    target = render(scene, cfg)
+
+    key = jax.random.key(11)
+    true_albedo = scene.materials.albedo
+    noise = 0.25 * jax.random.uniform(key, true_albedo.shape, true_albedo.dtype)
+    scene0 = scene.replace(
+        materials=scene.materials.replace(
+            albedo=jnp.clip(true_albedo + noise, 0.05, 0.95)
+        )
+    )
+    err0 = float(jnp.abs(scene0.materials.albedo - true_albedo).mean())
+
+    fit_cfg = FitConfig(
+        steps=80,
+        lr=2e-2,
+        optimize=("albedo",),
+        ckpt_every=40,
+        ckpt_path=str(tmp_path / "ck.safetensors"),
+        log_path=str(tmp_path / "log.jsonl"),
+    )
+    fitted, history = fit(scene0, target, cfg, fit_cfg)
+    assert len(history) == 80
+    assert history[-1] < history[0] * 0.1, history[:3] + history[-3:]
+    err1 = float(jnp.abs(fitted.materials.albedo - true_albedo).mean())
+    assert err1 < err0 * 0.5, (err0, err1)
+    assert (tmp_path / "log.jsonl").exists()
+    assert (tmp_path / "ck.safetensors").exists()
+
+
+def test_fit_resume_continues(tmp_path):
+    cfg = get_config("fit").override(
+        width=16, height=16, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    target = render(scene, cfg)
+    key = jax.random.key(3)
+    scene0 = scene.replace(
+        materials=scene.materials.replace(
+            albedo=jnp.clip(
+                scene.materials.albedo
+                + 0.2 * jax.random.uniform(key, scene.materials.albedo.shape,
+                                           scene.materials.albedo.dtype),
+                0.05, 0.95,
+            )
+        )
+    )
+    ck = str(tmp_path / "r.safetensors")
+    # Phase 1: 10 steps, checkpoint at 10.
+    _, h1 = fit(
+        scene0, target, cfg,
+        FitConfig(steps=10, lr=1e-2, optimize=("albedo",),
+                  ckpt_every=10, ckpt_path=ck),
+    )
+    # Phase 2: resume to 20.
+    fitted2, h2 = fit(
+        scene0, target, cfg,
+        FitConfig(steps=20, lr=1e-2, optimize=("albedo",),
+                  ckpt_every=0, ckpt_path=""),
+        resume_from=ck,
+    )
+    assert len(h2) == 10  # steps 10..19 only
+    assert h2[-1] <= h1[0]
