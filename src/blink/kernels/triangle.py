@@ -27,17 +27,28 @@ def triangle_t(o: Array, d: Array, v0: Array, e1: Array, e2: Array,
 
 def triangle_tuv(o: Array, d: Array, v0: Array, e1: Array, e2: Array,
                  t_min: float | Array, t_max: float | Array = T_MAX):
-    """Möller–Trumbore returning (t, u, v); t = T_MAX on miss."""
+    """Möller–Trumbore returning (t, u, v); t = T_MAX on miss.
+
+    1/det is taken EXACTLY (guarded only against det == 0): any smooth
+    "regularized" inverse (e.g. det/(det^2+eps)) silently corrupts u,v,t
+    for small-but-valid determinants — tiny triangles in dense meshes have
+    det ~ edge^2 and near-grazing hits are legitimate. Exact division keeps
+    the barycentric range checks meaningful at every scale; degenerate/
+    parallel cases produce out-of-range u,v,t and fail those checks.
+    """
     pvec = vec.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = det / (det * det + _DET_EPS)  # safe 1/det, 0 for degenerate
+    # Double-where: keep the untaken branch finite so reverse-mode AD never
+    # sees inf * 0 (same pattern as kernels.sphere).
+    degenerate = det == 0.0
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
     tvec = o - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = vec.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     valid = (
-        (jnp.abs(det) > _DET_EPS)
+        ~degenerate
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)

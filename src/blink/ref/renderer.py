@@ -68,14 +68,17 @@ def _hit_tris(o, d, v0, e1, e2, t_min, t_max):
         return T_MAX, -1
     pvec = np.cross(np.broadcast_to(d, e2.shape), e2)
     det = np.sum(e1 * pvec, axis=-1)
-    inv_det = det / (det * det + _DET_EPS)
+    # Exact 1/det guarded only against 0 — mirrors kernels.triangle (a
+    # regularized inverse corrupts small-determinant hits).
+    degenerate = det == 0.0
+    inv_det = 1.0 / np.where(degenerate, 1.0, det)
     tvec = o[None, :] - v0
     u = np.sum(tvec * pvec, axis=-1) * inv_det
     qvec = np.cross(tvec, e1)
     v = np.sum(d[None, :] * qvec, axis=-1) * inv_det
     t = np.sum(e2 * qvec, axis=-1) * inv_det
     valid = (
-        (np.abs(det) > _DET_EPS)
+        ~degenerate
         & (u >= 0)
         & (v >= 0)
         & (u + v <= 1)
