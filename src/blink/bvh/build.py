@@ -29,6 +29,16 @@ from blink.bvh.types import FlatBVH
 from blink.scene.scene import Triangles
 
 
+#: Empty subtrees are a FAR-AWAY POINT BOX, not inverted bounds: the
+#: min/max-swapped slab test treats an inverted box [+inf,-inf] as an
+#: INFINITE box (swap makes [a,b] == [b,a]), which made every ray "hit"
+#: every padding node and walk the whole padded tail. A point box at
+#: (1e30,)*3 fails near<=far for any ray not passing exactly through it
+#: (and a measure-zero false hit is still correct: count==0 leaves test
+#: no primitives).
+EMPTY_BOX = 1e30
+
+
 def _morton3(x: np.ndarray) -> np.ndarray:
     """Interleave 10-bit coords -> 30-bit Morton codes. x: (T,3) in [0,1)."""
     q = np.clip((x * 1024.0).astype(np.uint32), 0, 1023).astype(np.uint64)
@@ -54,10 +64,10 @@ def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
     K = leaf_size
 
     if T == 0:
-        inf = np.full((1, 3), np.inf, np.float32)
+        far = np.full((1, 3), EMPTY_BOX, np.float32)
         return FlatBVH(
-            lo=jnp.asarray(inf),
-            hi=jnp.asarray(-inf),
+            lo=jnp.asarray(far),
+            hi=jnp.asarray(far),
             skip=jnp.asarray([1], jnp.int32),
             first=jnp.asarray([0], jnp.int32),
             count=jnp.asarray([0], jnp.int32),
@@ -136,7 +146,10 @@ def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
         if l == depth:
             first[pre] = k * K
             count[pre] = leaf_count
-    # Inverted bounds can contain NaN semantics downstream; keep +-inf.
+    # Replace empty-subtree (non-finite) bounds with the far point box.
+    empty = ~np.isfinite(lo).all(axis=1) | ~np.isfinite(hi).all(axis=1) | (hi < lo).any(axis=1)
+    lo[empty] = EMPTY_BOX
+    hi[empty] = EMPTY_BOX
     return FlatBVH(
         lo=jnp.asarray(lo),
         hi=jnp.asarray(hi),
@@ -198,6 +211,12 @@ def refit_bvh(bvh: FlatBVH, tris: Triangles) -> FlatBVH:
     # heap order = root..leaves; we built leaves..root.
     heap_lo = jnp.concatenate(levels_lo[::-1], axis=0)
     heap_hi = jnp.concatenate(levels_hi[::-1], axis=0)
+    # Empty subtrees -> far point box (see EMPTY_BOX above).
+    empty = ~(
+        jnp.isfinite(heap_lo).all(axis=1) & jnp.isfinite(heap_hi).all(axis=1)
+    ) | (heap_hi < heap_lo).any(axis=1)
+    heap_lo = jnp.where(empty[:, None], EMPTY_BOX, heap_lo)
+    heap_hi = jnp.where(empty[:, None], EMPTY_BOX, heap_hi)
     lo = jnp.zeros_like(bvh.lo).at[bvh.heap2pre].set(heap_lo)
     hi = jnp.zeros_like(bvh.hi).at[bvh.heap2pre].set(heap_hi)
     return bvh.replace(lo=lo, hi=hi, tv0=tv0, te1=te1, te2=te2)

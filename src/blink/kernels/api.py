@@ -57,9 +57,12 @@ def make_backend(name: str, scene: Scene) -> Backend:
     if name == "brute":
         return Backend(name="brute", bvh=None)
     if name in ("bvh", "pallas"):
-        try:
-            from blink.bvh import build_flat_bvh
-        except ImportError:  # traversal layer not built yet (M2 milestone)
-            return Backend(name="brute", bvh=None)
-        return Backend(name=name, bvh=build_flat_bvh(scene.triangles))
+        from blink.bvh import build_flat_bvh
+
+        bvh = build_flat_bvh(scene.triangles)
+        if name == "pallas":
+            from blink.kernels.traverse_pallas import pack_bvh_planes
+
+            return Backend(name=name, bvh=pack_bvh_planes(bvh))
+        return Backend(name=name, bvh=bvh)
     raise KeyError(f"unknown backend '{name}'")

@@ -1,0 +1,346 @@
+"""Pallas TPU BVH traversal kernels (SURVEY.md §2 "Stackless BVH traversal
+kernel", §7.2.1; BASELINE.json:5 "stackless BVH traversal ... re-derived
+for SIMD lanes").
+
+TPU-native design — a *packet* reformulation of the per-thread GPU walk:
+
+  - The VPU is 8x128 lanes with shared control flow; per-lane divergent
+    tree walks would force per-lane gathers of node data (the pattern
+    Mosaic handles worst). Instead each kernel instance owns a PACKET of
+    RAY_ROWS x 128 rays held as (RAY_ROWS, 128) VMEM tiles, and a single
+    SCALAR preorder cursor walks the skip-link BVH (bvh.types).
+  - A node is entered iff ANY ray in the packet still needs it (slab test
+    against each ray's current best t). The render pipeline feeds
+    spatially tiled pixel packets (render.api) so the visited-node union
+    stays near a single ray's path; wavefront compaction + sorting
+    restores coherence for bounce rays.
+  - Scalar access pattern (probed on this toolchain, see git history):
+    Mosaic supports dynamic-SUBLANE row loads, dynamic lane ROLLs, and
+    STATIC lane extraction — but not dynamic lane indexing. So node and
+    triangle records are packed into lane-aligned slots:
+       node n   -> row n//8,  lanes [(n%8)*16  .. +9): lo.xyz hi.xyz
+                   skip first count   (ints stored exactly as f32 < 2^24)
+       tri slot s -> row s//12, lanes [(s%12)*10 .. +10): v0 e1 e2 tid
+    One row load + one roll brings a record to lane 0; attributes are then
+    static extracts. This costs ~3 vector ops per record instead of ~19
+    masked reductions.
+  - The walk is a lax.while_loop on the scalar cursor; leaf triangle
+    tests are lax.cond'ed on "any lane needs the leaf". The any-hit
+    (shadow) variant early-exits once every lane is blocked.
+
+The pure-JAX reference (kernels.traverse) computes identical results;
+tests/test_pallas_interpret.py asserts parity in interpreter mode on CPU
+and tests/tpu/test_pallas_parity.py on the real chip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blink.bvh.types import FlatBVH
+from blink.core.struct import pytree_dataclass, static_field
+from blink.kernels.types import T_MAX, T_MIN
+
+Array = jnp.ndarray
+
+LANES = 128
+#: rays per packet = RAY_ROWS x 128. Bigger packets amortize the scalar
+#: node walk over more rays at the price of a larger node-union; 32 rows
+#: (4096 rays = a 32x128 pixel tile) benchmarked fastest on the v5e.
+RAY_ROWS = 32
+NODE_LANES = 16  # lanes reserved per node record (9 used)
+NODES_PER_ROW = LANES // NODE_LANES  # 8
+TRI_LANES = 10  # lanes per triangle record
+TRIS_PER_ROW = LANES // TRI_LANES  # 12
+
+
+@pytree_dataclass
+class BVHPacked:
+    """Lane-slot packed device layout of a FlatBVH (see module doc)."""
+
+    nrow: Array  # (ceil(N/8), 128) f32 node records
+    trow: Array  # (ceil(P/12), 128) f32 triangle records
+    n_nodes: int = static_field(default=0)
+    leaf_size: int = static_field(default=4)
+
+
+def pack_bvh_planes(bvh: FlatBVH) -> BVHPacked:
+    """One-time re-layout of BVH arrays into the lane-slot packed form.
+
+    (Name kept from the earlier planar layout for API stability.)
+    Padding slots parse as: node with inverted bounds (lo=+inf, hi=-inf,
+    always missed) and skip == n_nodes (terminates); triangle with
+    v0=e1=e2=0 (det==0 -> miss) and id -1.
+    """
+    n = bvh.n_nodes
+    nrows = -(-n // NODES_PER_ROW)
+    rec = jnp.concatenate(
+        [
+            bvh.lo,
+            bvh.hi,
+            jnp.asarray(bvh.skip, jnp.float32)[:, None],
+            jnp.asarray(bvh.first, jnp.float32)[:, None],
+            jnp.asarray(bvh.count, jnp.float32)[:, None],
+            jnp.zeros((n, NODE_LANES - 9), jnp.float32),
+        ],
+        axis=1,
+    )  # (n, 16)
+    # Padding node = far point box (always misses; see bvh.build.EMPTY_BOX
+    # — inverted bounds would read as an infinite box under the slab swap).
+    from blink.bvh.build import EMPTY_BOX
+
+    pad_rec = jnp.concatenate(
+        [
+            jnp.full((1, 6), EMPTY_BOX, jnp.float32),
+            jnp.full((1, 1), float(n), jnp.float32),
+            jnp.zeros((1, NODE_LANES - 7), jnp.float32),
+        ],
+        axis=1,
+    )
+    pad_n = nrows * NODES_PER_ROW - n
+    rec = jnp.concatenate([rec, jnp.tile(pad_rec, (pad_n, 1))])
+    nrow = rec.reshape(nrows, LANES)
+
+    p = bvh.tri_id.shape[0]
+    prows = -(-p // TRIS_PER_ROW)
+    trec = jnp.concatenate(
+        [
+            bvh.tv0,
+            bvh.te1,
+            bvh.te2,
+            jnp.asarray(bvh.tri_id, jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (p, 10)
+    pad_p = prows * TRIS_PER_ROW - p
+    pad_t = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), jnp.full((1, 1), -1.0, jnp.float32)],
+        axis=1,
+    )
+    trec = jnp.concatenate([trec, jnp.tile(pad_t, (pad_p, 1))])
+    # Rows must fill 120 of 128 lanes; pad each row's tail with zeros.
+    trec = trec.reshape(prows, TRIS_PER_ROW * TRI_LANES)
+    trow = jnp.concatenate(
+        [trec, jnp.zeros((prows, LANES - TRIS_PER_ROW * TRI_LANES), jnp.float32)],
+        axis=1,
+    )
+    return BVHPacked(
+        nrow=nrow, trow=trow, n_nodes=n, leaf_size=bvh.leaf_size
+    )
+
+
+def _slab(ox, oy, oz, ix, iy, iz, t_min, t_max, lx, ly, lz, hx, hy, hz):
+    """Vectorized slab test of one scalar box against the ray packet."""
+    t0x = (lx - ox) * ix
+    t1x = (hx - ox) * ix
+    t0y = (ly - oy) * iy
+    t1y = (hy - oy) * iy
+    t0z = (lz - oz) * iz
+    t1z = (hz - oz) * iz
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    # 0*inf NaN guard (origin exactly on a slab of a parallel ray).
+    near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+    far = jnp.where(jnp.isnan(far), jnp.inf, far)
+    return jnp.maximum(near, t_min) <= jnp.minimum(far, t_max)
+
+
+def _mt_tri(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
+            e2x, e2y, e2z, t_min, t_max):
+    """Möller–Trumbore of one scalar triangle vs the packet (exact 1/det —
+    see kernels.triangle)."""
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    degen = det == 0.0
+    inv = 1.0 / jnp.where(degen, 1.0, det)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    valid = (
+        ~degen & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= t_min) & (t <= t_max)
+    )
+    return jnp.where(valid, t, T_MAX)
+
+
+def _make_kernel(n_nodes: int, leaf_size: int, any_hit: bool, t_min: float):
+    def kernel(o_ref, d_ref, tfar_ref, nrow_ref, trow_ref,
+               t_out_ref, prim_out_ref):
+        ox = o_ref[0]
+        oy = o_ref[1]
+        oz = o_ref[2]
+        dx = d_ref[0]
+        dy = d_ref[1]
+        dz = d_ref[2]
+        ix = 1.0 / dx
+        iy = 1.0 / dy
+        iz = 1.0 / dz
+        best0 = jnp.minimum(tfar_ref[...], T_MAX)
+        prim0 = jnp.full((RAY_ROWS, LANES), -1, jnp.int32)
+
+        def read_node(n):
+            """Roll node record n to lane 0; return the (1,128) row."""
+            row = nrow_ref[pl.ds(n // NODES_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(n % NODES_PER_ROW) * NODE_LANES, axis=1)
+
+        def read_tri(s):
+            row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
+
+        def cond(c):
+            node, best_t, prim = c
+            running = node < n_nodes
+            if any_hit:
+                running = running & jnp.any(prim < 0)
+            return running
+
+        def body(c):
+            node, best_t, prim = c
+            nr = read_node(node)
+            need = _slab(
+                ox, oy, oz, ix, iy, iz, t_min, best_t,
+                nr[0, 0], nr[0, 1], nr[0, 2], nr[0, 3], nr[0, 4], nr[0, 5],
+            )
+            if any_hit:
+                need = need & (prim < 0)
+            hit_any = jnp.any(need)
+            cnt = jnp.int32(nr[0, 8])
+            fst = jnp.int32(nr[0, 7])
+
+            # Leaf tests only run when some lane enters a leaf (~25% of
+            # visits); internal-node iterations skip them via lax.cond.
+            def leaf_body(carry):
+                best_t, prim = carry
+                for j in range(leaf_size):
+                    tr = read_tri(fst + j)
+                    t = _mt_tri(
+                        ox, oy, oz, dx, dy, dz,
+                        tr[0, 0], tr[0, 1], tr[0, 2],
+                        tr[0, 3], tr[0, 4], tr[0, 5],
+                        tr[0, 6], tr[0, 7], tr[0, 8],
+                        t_min, best_t,
+                    )
+                    better = need & (j < cnt) & (t < best_t)
+                    best_t = jnp.where(better, t, best_t)
+                    prim = jnp.where(better, jnp.int32(tr[0, 9]), prim)
+                return best_t, prim
+
+            best_t, prim = jax.lax.cond(
+                hit_any & (cnt > 0), leaf_body, lambda c: c, (best_t, prim)
+            )
+            node = jnp.where(hit_any, node + 1, jnp.int32(nr[0, 6]))
+            return node, best_t, prim
+
+        _, best_t, prim = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), best0, prim0)
+        )
+        t_out_ref[...] = best_t
+        prim_out_ref[...] = prim
+
+    return kernel
+
+
+def _pack_rays(o: Array, d: Array, t_far: Array):
+    """Pad to a packet multiple; (n,3) -> (3, G*RAY_ROWS, 128)."""
+    n = o.shape[0]
+    packet = RAY_ROWS * LANES
+    g = -(-n // packet)
+    pad = g * packet - n
+    o32 = jnp.asarray(o, jnp.float32)
+    d32 = jnp.asarray(d, jnp.float32)
+    tf = jnp.asarray(jnp.broadcast_to(t_far, (n,)), jnp.float32)
+    if pad:
+        # Padding rays: t_far=0 < t_min means the slab test can never pass
+        # for them, so they record no hits and don't extend the walk.
+        o32 = jnp.concatenate([o32, jnp.zeros((pad, 3), jnp.float32)])
+        d32 = jnp.concatenate([d32, jnp.ones((pad, 3), jnp.float32)])
+        tf = jnp.concatenate([tf, jnp.zeros((pad,), jnp.float32)])
+    o_t = o32.T.reshape(3, g * RAY_ROWS, LANES)
+    d_t = d32.T.reshape(3, g * RAY_ROWS, LANES)
+    tf_t = tf.reshape(g * RAY_ROWS, LANES)
+    return o_t, d_t, tf_t, g
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "interpret"))
+def _traverse_pallas(
+    o: Array,
+    d: Array,
+    t_far: Array,
+    packed: BVHPacked,
+    any_hit: bool = False,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+):
+    n = o.shape[0]
+    o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
+
+    kernel = _make_kernel(packed.n_nodes, packed.leaf_size, any_hit, t_min)
+    ray3 = pl.BlockSpec(
+        (3, RAY_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    ray1 = pl.BlockSpec(
+        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def whole(arr: Array) -> pl.BlockSpec:
+        # Entire array resident in VMEM; identical block every grid step so
+        # the pipeline fetches it once.
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray3, ray3, ray1, whole(packed.nrow), whole(packed.trow)],
+        out_specs=(ray1, ray1),
+        out_shape=(
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(o_t, d_t, tf_t, packed.nrow, packed.trow)
+    return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
+
+
+def traverse_closest_pallas(
+    o: Array, d: Array, bvh, t_min: float = T_MIN, interpret: bool = False
+):
+    """Closest hit: (t, prim) with prim==-1 on miss. Matches
+    kernels.traverse.traverse_closest exactly."""
+    packed = bvh if isinstance(bvh, BVHPacked) else pack_bvh_planes(bvh)
+    t_far = jnp.full((o.shape[0],), T_MAX, jnp.float32)
+    t, prim = _traverse_pallas(
+        o, d, t_far, packed, any_hit=False, t_min=t_min, interpret=interpret
+    )
+    return jax.lax.stop_gradient(t), prim
+
+
+def traverse_anyhit_pallas(
+    o: Array, d: Array, bvh, t_far: Array, t_min: float = T_MIN,
+    interpret: bool = False,
+):
+    """Shadow test: True where a hit exists in (t_min, t_far)."""
+    packed = bvh if isinstance(bvh, BVHPacked) else pack_bvh_planes(bvh)
+    _, prim = _traverse_pallas(
+        o, d, t_far, packed, any_hit=True, t_min=t_min, interpret=interpret
+    )
+    return prim >= 0

@@ -34,14 +34,41 @@ def render_rays(
     return INTEGRATORS[integrator](o, d, keys, scene, backend, deterministic)
 
 
+def _tile_perm(h: int, w: int) -> "np.ndarray | None":
+    """Pixel permutation putting each (RAY_ROWS x 128)-pixel tile into one
+    contiguous packet — the spatial coherence the Pallas packet-traversal
+    kernel needs (kernels.traverse_pallas). None if the image doesn't tile
+    evenly (the kernel still works, just with row-strip packets)."""
+    import numpy as np
+
+    from blink.kernels.traverse_pallas import LANES, RAY_ROWS
+
+    if h % RAY_ROWS or w % LANES:
+        return None
+    ids = np.arange(h * w).reshape(h, w)
+    tiles = [
+        ids[r : r + RAY_ROWS, c : c + LANES].ravel()
+        for r in range(0, h, RAY_ROWS)
+        for c in range(0, w, LANES)
+    ]
+    return np.concatenate(tiles)
+
+
 def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
     """Accumulated (H, W, 3) radiance image. Jit-safe; cfg is static."""
     h, w, spp = cfg.height, cfg.width, cfg.spp
     key = jax.random.key(cfg.seed)
+    perm = _tile_perm(h, w) if getattr(backend, "name", "") == "pallas" else None
 
     def one_sample(s):
         jitter = cfg.jitter and not cfg.deterministic
         o, d, pkeys = generate_rays(scene.camera, h, w, key, s, jitter)
+        if perm is not None:
+            li_t = render_rays(
+                o[perm], d[perm], pkeys[perm], scene, backend,
+                cfg.integrator, cfg.max_depth, cfg.deterministic,
+            )
+            return jnp.zeros_like(li_t).at[perm].set(li_t)
         return render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
             cfg.deterministic,

@@ -93,24 +93,26 @@ def icosphere(subdiv: int, radius: float = 1.0, center=(0.0, 0.0, 0.0)):
         I32,
     )
     for _ in range(subdiv):
-        edge_mid: dict[tuple[int, int], int] = {}
-        vlist = list(verts)
-
-        def midpoint(a: int, b: int) -> int:
-            key = (a, b) if a < b else (b, a)
-            if key not in edge_mid:
-                m = vlist[a] + vlist[b]
-                m = m / np.linalg.norm(m)
-                edge_mid[key] = len(vlist)
-                vlist.append(m.astype(F32))
-            return edge_mid[key]
-
-        new_faces = []
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        verts = np.array(vlist, F32)
-        faces = np.array(new_faces, I32)
+        # Vectorized midpoint subdivision: dedupe edges with np.unique so
+        # shared midpoints get one vertex (watertight), no Python-per-face
+        # loops (subdiv=6 is ~10^5 faces).
+        e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+        e_sorted = np.sort(e, axis=1)
+        uniq, inv = np.unique(e_sorted, axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=-1, keepdims=True)
+        mid_idx = (len(verts) + inv).reshape(3, -1)  # [ab, bc, ca] per face
+        ab, bc, ca = mid_idx[0], mid_idx[1], mid_idx[2]
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        faces = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([b, bc, ab], axis=1),
+                np.stack([c, ca, bc], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ]
+        ).astype(I32)
+        verts = np.concatenate([verts, mids.astype(F32)])
     verts = verts * radius + np.asarray(center, F32)
     # Spherical UVs for texture tests.
     d = verts - np.asarray(center, F32)

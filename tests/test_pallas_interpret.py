@@ -1,0 +1,40 @@
+"""Pallas kernel parity vs the pure-JAX traversal, run in interpreter mode
+on CPU (SURVEY.md §4.3, §5 "race detection" analog: interpret=True shakes
+out out-of-bounds indexing before Mosaic compilation). On-chip parity lives
+in tests/tpu/test_pallas_parity.py."""
+import jax.numpy as jnp
+import numpy as np
+
+from blink.bvh import build_flat_bvh
+from blink.kernels.traverse import traverse_anyhit, traverse_closest
+from blink.kernels.traverse_pallas import (
+    pack_bvh_planes,
+    traverse_anyhit_pallas,
+    traverse_closest_pallas,
+)
+from tests.test_bvh import _random_rays, _random_tris
+
+
+def test_closest_parity_interpret():
+    for seed, ntri in [(0, 64), (1, 700)]:
+        tris = _random_tris(ntri, seed)
+        bvh = build_flat_bvh(tris)
+        planes = pack_bvh_planes(bvh)
+        o, d = _random_rays(300, seed + 20)  # non-multiple of packet size
+        t_ref, p_ref = traverse_closest(o, d, bvh)
+        t_pl, p_pl = traverse_closest_pallas(o, d, planes, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(t_pl), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(p_pl), np.asarray(p_ref))
+
+
+def test_anyhit_parity_interpret():
+    tris = _random_tris(300, 5)
+    bvh = build_flat_bvh(tris)
+    planes = pack_bvh_planes(bvh)
+    o, d = _random_rays(300, 6)
+    t_far = jnp.full((300,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_pl = traverse_anyhit_pallas(o, d, planes, t_far, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_pl), np.asarray(b_ref))

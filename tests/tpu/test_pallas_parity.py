@@ -1,0 +1,46 @@
+"""On-device Pallas parity (SURVEY.md §4.3): run with
+`python -m pytest tests/tpu/ -q` — no backend override, executes on the
+axon TPU. Excluded from the CPU CI run (tests/conftest.py collect_ignore).
+Keep scenes small: each jit variant takes tens of seconds to compile here.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "src"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax.numpy as jnp
+import numpy as np
+
+from blink.bvh import build_flat_bvh
+from blink.kernels.traverse import traverse_anyhit, traverse_closest
+from blink.kernels.traverse_pallas import (
+    pack_bvh_planes,
+    traverse_anyhit_pallas,
+    traverse_closest_pallas,
+)
+from tests.test_bvh import _random_rays, _random_tris
+
+
+def test_closest_parity_tpu():
+    tris = _random_tris(700, 1)
+    bvh = build_flat_bvh(tris)
+    planes = pack_bvh_planes(bvh)
+    o, d = _random_rays(512, 21)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_pl, p_pl = traverse_closest_pallas(o, d, planes)
+    np.testing.assert_allclose(
+        np.asarray(t_pl), np.asarray(t_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(p_pl), np.asarray(p_ref))
+
+
+def test_anyhit_parity_tpu():
+    tris = _random_tris(300, 5)
+    bvh = build_flat_bvh(tris)
+    planes = pack_bvh_planes(bvh)
+    o, d = _random_rays(512, 6)
+    t_far = jnp.full((512,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_pl = traverse_anyhit_pallas(o, d, planes, t_far)
+    np.testing.assert_array_equal(np.asarray(b_pl), np.asarray(b_ref))
