@@ -1,0 +1,13 @@
+"""L7: distributed execution (SURVEY.md §1)."""
+from blink.dist.mesh import AXIS, init_distributed, make_mesh
+from blink.dist.render import (
+    dist_fit_step,
+    dist_render,
+    dist_render_grad,
+    dryrun_step,
+)
+
+__all__ = [
+    "AXIS", "init_distributed", "make_mesh",
+    "dist_fit_step", "dist_render", "dist_render_grad", "dryrun_step",
+]

@@ -1,0 +1,190 @@
+"""Distributed rendering: rays/tiles sharded over the device mesh, scene
+replicated, scene-parameter gradients all-reduced (SURVEY.md §3.5;
+BASELINE.json:5,11 — config 5).
+
+Sharding layout:
+  - pixel rows sharded P('d'): each device generates and traces only its
+    row-block's rays (raygen is keyed by absolute pixel id, so the sharded
+    image is bit-identical to the single-device one);
+  - scene + BVH replicated P() (primitive sharding is a scene-size escape
+    hatch, not needed at spec scales — SURVEY.md §2.2);
+  - backward: per-shard pixel-loss grads flow into local scene-param
+    grads, then ONE lax.psum over 'd' per parameter — the all-reduce XLA
+    overlaps with the backward sweep (it sits outside the remaining
+    backward dependency chain).
+
+spp accumulation happens inside each shard (render_image's fori_loop), so
+config 5's 4096^2 x 64 spp never materializes the full ray set on any one
+device (SURVEY.md §7.2.5).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from blink.config import RenderConfig
+from blink.dist.mesh import AXIS, P, make_mesh
+from blink.render.camera import generate_rays
+from blink.render.api import render_rays
+from blink.scene.scene import Scene
+
+Array = jnp.ndarray
+
+
+def _shard_rows(cfg: RenderConfig, n_shards: int) -> int:
+    h = cfg.height
+    if h % n_shards:
+        raise ValueError(f"height {h} must divide by mesh size {n_shards}")
+    return h // n_shards
+
+
+def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> Array:
+    """Render `rows` image rows starting at traced row index row0."""
+    w = cfg.width
+    key = jax.random.key(cfg.seed)
+    pid0 = jnp.uint32(row0) * jnp.uint32(w)
+    pixel_id = pid0 + jnp.arange(rows * w, dtype=jnp.uint32)
+
+    def body(s, acc):
+        jitter = cfg.jitter and not cfg.deterministic
+        o, d, pkeys = generate_rays(
+            scene.camera, cfg.height, w, key, s, jitter, pixel_id=pixel_id
+        )
+        li = render_rays(
+            o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
+            cfg.deterministic,
+        )
+        return acc + li
+
+    init = jnp.zeros((rows * w, 3), jnp.float32)
+    # Inside shard_map the loop output varies over the mesh axis (it
+    # depends on axis_index); the init carry must carry the same varying
+    # manual-axes type.
+    init = jax.lax.pcast(init, (AXIS,), to="varying")
+    acc = jax.lax.fori_loop(0, cfg.spp, body, init)
+    return (acc / cfg.spp).reshape(rows, w, 3)
+
+
+def dist_render(scene: Scene, cfg: RenderConfig, backend=None, mesh=None) -> Array:
+    """Sharded forward render; returns the assembled (H, W, 3) image."""
+    if backend is None:
+        from blink.kernels.api import make_backend
+
+        backend = make_backend(cfg.backend, scene)
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    rows = _shard_rows(cfg, n)
+
+    def shard_fn(scene, backend):
+        i = jax.lax.axis_index(AXIS)
+        return _render_block(scene, cfg, backend, i * rows, rows)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS, None, None),
+    )
+    return jax.jit(fn)(scene, backend)
+
+
+def dist_render_grad(
+    scene: Scene,
+    cfg: RenderConfig,
+    target: Array,
+    param_names: tuple[str, ...] = ("albedo", "emission"),
+    backend=None,
+    mesh=None,
+):
+    """(loss, grads) of pixel-MSE, rays sharded, grads psum'd over 'd'."""
+    from blink.api import extract_params, merge_params
+
+    if backend is None:
+        from blink.kernels.api import make_backend
+
+        backend = make_backend(cfg.backend, scene)
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    rows = _shard_rows(cfg, n)
+    params = extract_params(scene, tuple(param_names))
+    denom = cfg.height * cfg.width * 3
+
+    def shard_fn(params, scene, backend, target_block):
+        i = jax.lax.axis_index(AXIS)
+
+        def local_sse(params):
+            s = merge_params(scene, params)
+            block = _render_block(s, cfg, backend, i * rows, rows)
+            return jnp.sum((block - target_block) ** 2)
+
+        sse, grads = jax.value_and_grad(local_sse)(params)
+        loss = jax.lax.psum(sse, AXIS) / denom
+        # Scene-param gradient all-reduce over ICI (BASELINE.json:5,11):
+        # params enter the shard REPLICATED, so reverse-mode AD already
+        # all-reduces their cotangents (the transpose of the implicit
+        # broadcast is a psum that XLA schedules inside the backward sweep
+        # — exactly the "overlapped with backward" collective). An explicit
+        # psum here would double-count by the mesh size.
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        return loss, grads
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS, None, None)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)(params, scene, backend, target)
+
+
+def dist_fit_step(scene, cfg, target, opt, opt_state, params, backend, mesh):
+    """One sharded Adam step (the full training step the driver dry-runs)."""
+    import optax
+
+    from blink.api import merge_params
+
+    loss, grads = dist_render_grad(
+        merge_params(scene, params), cfg, target,
+        tuple(params), backend, mesh,
+    )
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return loss, params, opt_state
+
+
+def dryrun_step(n_devices: int) -> None:
+    """Driver hook: one FULL sharded training step on tiny shapes over an
+    n_devices mesh (virtual CPU devices when real chips are absent)."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except RuntimeError:
+        pass  # backend already initialized; fall through if enough devices
+    import optax
+
+    from blink.api import build_scene, extract_params
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+
+    h = max(8, n_devices)
+    while h % n_devices:
+        h += 1
+    cfg = get_config("cornell").override(
+        width=8, height=h, spp=1, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    backend = make_backend(cfg.backend, scene)
+    mesh = make_mesh(n_devices)
+    target = dist_render(scene, cfg, backend, mesh)
+    params = extract_params(scene, ("sphere_center", "albedo"))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    loss, params, opt_state = dist_fit_step(
+        scene, cfg, target, opt, opt_state, params, backend, mesh
+    )
+    assert jnp.isfinite(loss), loss

@@ -29,14 +29,22 @@ def generate_rays(
     seed_key: Array,
     sample_idx,
     jitter: bool = True,
+    pixel_id: Array | None = None,
 ):
-    """Primary rays for every pixel of one spp sample.
+    """Primary rays for one spp sample.
 
-    Returns (o, d, pixel_keys): o/d (H*W, 3) with d unit length, and the
-    per-(pixel, sample) RNG keys for downstream sampling dimensions.
+    pixel_id: optional (N,) uint32 subset/permutation of pixels (used by
+    the distributed renderer to generate only this shard's rays, and by
+    the tiled pallas path). Default: every pixel in row-major order.
+
+    Returns (o, d, pixel_keys): o/d (N, 3) with d unit length, and the
+    per-(pixel, sample) RNG keys for downstream sampling dimensions —
+    keyed by absolute pixel id, so any sharding/permutation renders
+    exactly the same image (BASELINE.json:5 reproducibility).
     """
-    n = height * width
-    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    if pixel_id is None:
+        pixel_id = jnp.arange(height * width, dtype=jnp.uint32)
+    n = pixel_id.shape[0]
     pixel_keys = jax.vmap(lambda p: sampler.pixel_key(seed_key, p, sample_idx))(
         pixel_id
     )
