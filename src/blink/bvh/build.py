@@ -57,6 +57,78 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
+def build_boxtree(blo: np.ndarray, bhi: np.ndarray, leaf_size: int):
+    """Core builder: Morton-ordered implicit tree over arbitrary boxes.
+
+    blo/bhi: (T, 3) element bounds. Returns the preorder node arrays plus
+    the Morton `order` (element permutation) and the heap2pre map:
+    (lo, hi, skip, first, count, order, heap2pre). Shared by the triangle
+    BVH (build_flat_bvh) and the TLAS over instances (bvh.tlas).
+    """
+    T = blo.shape[0]
+    K = leaf_size
+    cent = 0.5 * (blo + bhi)
+    scene_lo = cent.min(axis=0)
+    scene_hi = cent.max(axis=0)
+    norm = (cent - scene_lo) / np.maximum(scene_hi - scene_lo, 1e-12)
+    order = np.argsort(_morton3(norm), kind="stable")
+
+    n_leaves = -(-T // K)
+    depth = max(int(np.ceil(np.log2(max(n_leaves, 1)))), 0)
+    L = 1 << depth
+    P = L * K
+
+    def pad(a: np.ndarray, fill: float) -> np.ndarray:
+        out = np.full((P,) + a.shape[1:], fill, a.dtype)
+        out[:T] = a
+        return out
+
+    leaf_lo = pad(blo[order], np.inf).reshape(L, K, 3).min(axis=1)
+    leaf_hi = pad(bhi[order], -np.inf).reshape(L, K, 3).max(axis=1)
+
+    lo_levels = [None] * (depth + 1)
+    hi_levels = [None] * (depth + 1)
+    lo_levels[depth] = leaf_lo
+    hi_levels[depth] = leaf_hi
+    for l in range(depth - 1, -1, -1):
+        lo_levels[l] = lo_levels[l + 1].reshape(-1, 2, 3).min(axis=1)
+        hi_levels[l] = hi_levels[l + 1].reshape(-1, 2, 3).max(axis=1)
+
+    n_nodes = 2 * L - 1
+    lo = np.empty((n_nodes, 3), np.float32)
+    hi = np.empty((n_nodes, 3), np.float32)
+    skip = np.empty((n_nodes,), np.int64)
+    first = np.zeros((n_nodes,), np.int64)
+    count = np.zeros((n_nodes,), np.int64)
+
+    def subtree(l: int) -> int:
+        return (1 << (depth - l + 1)) - 1
+
+    leaf_count = np.clip(T - np.arange(L) * K, 0, K)
+    heap2pre = []
+    for l in range(depth + 1):
+        k = np.arange(1 << l)
+        pre = np.zeros_like(k)
+        for j in range(1, l + 1):
+            bit = (k >> (l - j)) & 1
+            pre += 1 + bit * subtree(j)
+        heap2pre.append(pre)
+        lo[pre] = lo_levels[l]
+        hi[pre] = hi_levels[l]
+        skip[pre] = pre + subtree(l)
+        if l == depth:
+            first[pre] = k * K
+            count[pre] = leaf_count
+    empty = (
+        ~np.isfinite(lo).all(axis=1)
+        | ~np.isfinite(hi).all(axis=1)
+        | (hi < lo).any(axis=1)
+    )
+    lo[empty] = EMPTY_BOX
+    hi[empty] = EMPTY_BOX
+    return lo, hi, skip, first, count, order, np.concatenate(heap2pre)
+
+
 def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
     v = np.asarray(tris.verts, np.float32)
     idx = np.asarray(tris.idx, np.int64)
@@ -81,18 +153,13 @@ def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
     p0, p1, p2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
     tlo = np.minimum(np.minimum(p0, p1), p2)
     thi = np.maximum(np.maximum(p0, p1), p2)
-    cent = 0.5 * (tlo + thi)
-    scene_lo = cent.min(axis=0)
-    scene_hi = cent.max(axis=0)
-    norm = (cent - scene_lo) / np.maximum(scene_hi - scene_lo, 1e-12)
-    order = np.argsort(_morton3(norm), kind="stable")
-
-    n_leaves = -(-T // K)
-    depth = max(int(np.ceil(np.log2(max(n_leaves, 1)))), 0)
-    L = 1 << depth  # padded leaf count
-    P = L * K  # padded primitive slots
+    lo, hi, skip, first, count, order, heap2pre = build_boxtree(tlo, thi, K)
 
     # Reordered, padded triangle SoA.
+    n_leaves = -(-T // K)
+    L = 1 << max(int(np.ceil(np.log2(max(n_leaves, 1)))), 0)
+    P = L * K
+
     def pad(a: np.ndarray, fill: float) -> np.ndarray:
         out = np.full((P,) + a.shape[1:], fill, a.dtype)
         out[:T] = a
@@ -105,51 +172,6 @@ def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
     tri_id = np.full((P,), -1, np.int64)
     tri_id[:T] = order
 
-    # Per-leaf bounds (padded leaves inverted: lo=+inf, hi=-inf).
-    leaf_lo = pad(tlo[order], np.inf).reshape(L, K, 3).min(axis=1)
-    leaf_hi = pad(thi[order], -np.inf).reshape(L, K, 3).max(axis=1)
-
-    # Bottom-up refit: levels[l] has 2^l nodes; leaves at level `depth`.
-    lo_levels = [None] * (depth + 1)
-    hi_levels = [None] * (depth + 1)
-    lo_levels[depth] = leaf_lo
-    hi_levels[depth] = leaf_hi
-    for l in range(depth - 1, -1, -1):
-        lo_levels[l] = lo_levels[l + 1].reshape(-1, 2, 3).min(axis=1)
-        hi_levels[l] = hi_levels[l + 1].reshape(-1, 2, 3).max(axis=1)
-
-    # Heap -> preorder mapping, vectorized per level.
-    n_nodes = 2 * L - 1
-    lo = np.empty((n_nodes, 3), np.float32)
-    hi = np.empty((n_nodes, 3), np.float32)
-    skip = np.empty((n_nodes,), np.int64)
-    first = np.zeros((n_nodes,), np.int64)
-    count = np.zeros((n_nodes,), np.int64)
-
-    # Subtree size of a node at level l: 2^(depth-l+1) - 1.
-    def subtree(l: int) -> int:
-        return (1 << (depth - l + 1)) - 1
-
-    leaf_count = np.clip(T - np.arange(L) * K, 0, K)
-    heap2pre = []
-    for l in range(depth + 1):
-        k = np.arange(1 << l)
-        pre = np.zeros_like(k)
-        # Accumulate the closed-form preorder walk over ancestor bits.
-        for j in range(1, l + 1):
-            bit = (k >> (l - j)) & 1
-            pre += 1 + bit * subtree(j)
-        heap2pre.append(pre)
-        lo[pre] = lo_levels[l]
-        hi[pre] = hi_levels[l]
-        skip[pre] = pre + subtree(l)
-        if l == depth:
-            first[pre] = k * K
-            count[pre] = leaf_count
-    # Replace empty-subtree (non-finite) bounds with the far point box.
-    empty = ~np.isfinite(lo).all(axis=1) | ~np.isfinite(hi).all(axis=1) | (hi < lo).any(axis=1)
-    lo[empty] = EMPTY_BOX
-    hi[empty] = EMPTY_BOX
     return FlatBVH(
         lo=jnp.asarray(lo),
         hi=jnp.asarray(hi),
@@ -160,7 +182,7 @@ def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
         te1=jnp.asarray(te1),
         te2=jnp.asarray(te2),
         tri_id=jnp.asarray(tri_id, jnp.int32),
-        heap2pre=jnp.asarray(np.concatenate(heap2pre), jnp.int32),
+        heap2pre=jnp.asarray(heap2pre, jnp.int32),
         leaf_size=K,
     )
 

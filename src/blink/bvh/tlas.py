@@ -1,0 +1,285 @@
+"""Two-level BVH: TLAS over per-object BLAS with instance transforms
+(SURVEY.md §2 "BVH builder (2-level)", §3.4; BASELINE.json:10).
+
+Structure:
+  - B unique objects, each with its own flat BLAS (built in object space),
+    stacked into (B, ...)-leading arrays padded to the largest object so
+    traversal indexes them uniformly;
+  - I instances, each (object id, object->world affine); the TLAS is a
+    skip-link box tree (bvh.build.build_boxtree) over world-space instance
+    AABBs;
+  - traversal: walk the TLAS to find candidate instances, then walk each
+    candidate's BLAS with the ray pulled into object space. Affine
+    transforms preserve the ray parameter (T(o + t d) = T(o) + t L(d)), so
+    object-space t compares directly against the world-space best.
+
+Hit.prim reported = tri_offset[instance] + object-local tri id, matching a
+flattened world-space Triangles array (scene.instance_scene) so the
+differentiable refine layer is unchanged.
+
+This is the structural reference for 2-level scenes; the Pallas/perf path
+flattens instances (kernels.traverse_pallas). SURVEY.md §2.2.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from blink.bvh.build import build_boxtree, build_flat_bvh
+from blink.bvh.types import FlatBVH
+from blink.core.aabb import ray_aabb
+from blink.core.struct import pytree_dataclass, static_field
+from blink.kernels.triangle import triangle_t
+from blink.kernels.types import T_MAX, T_MIN
+
+Array = jnp.ndarray
+
+
+@pytree_dataclass
+class TwoLevelBVH:
+    # TLAS node arrays (preorder skip-link; leaves reference instances).
+    tlo: Array  # (N, 3)
+    thi: Array  # (N, 3)
+    tskip: Array  # (N,)
+    tfirst: Array  # (N,)
+    tcount: Array  # (N,)
+    inst_slot: Array  # (Ipad,) i32 instance id per TLAS leaf slot (-1 pad)
+    # Stacked BLAS arrays, leading dim = object (padded to max sizes).
+    blo: Array  # (B, Nb, 3)
+    bhi: Array  # (B, Nb, 3)
+    bskip: Array  # (B, Nb)
+    bfirst: Array  # (B, Nb)
+    bcount: Array  # (B, Nb)
+    btv0: Array  # (B, Pb, 3)
+    bte1: Array  # (B, Pb, 3)
+    bte2: Array  # (B, Pb, 3)
+    btid: Array  # (B, Pb)
+    # Instances.
+    obj_of_inst: Array  # (I,) i32
+    w2o: Array  # (I, 3, 4) world->object affine
+    tri_offset: Array  # (I,) i32 global tri-id base per instance
+    tlas_leaf_size: int = static_field(default=2)
+    blas_leaf_size: int = static_field(default=4)
+
+
+def _mesh_aabb_corners(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    xs = [lo[0], hi[0]]
+    ys = [lo[1], hi[1]]
+    zs = [lo[2], hi[2]]
+    return np.array([[x, y, z] for x in xs for y in ys for z in zs], np.float32)
+
+
+def build_two_level(
+    object_tris: list,
+    obj_of_inst: np.ndarray,
+    o2w: np.ndarray,
+    blas_leaf_size: int = 4,
+    tlas_leaf_size: int = 2,
+) -> TwoLevelBVH:
+    """Build TLAS + stacked BLAS.
+
+    object_tris: list of Triangles (object space); obj_of_inst: (I,) int;
+    o2w: (I, 3, 4) object->world affines.
+    """
+    blases = [build_flat_bvh(t, blas_leaf_size) for t in object_tris]
+    nb = max(b.n_nodes for b in blases)
+    pb = max(b.tri_id.shape[0] for b in blases)
+
+    def stack(attr: str, fill, width: int):
+        outs = []
+        for b in blases:
+            a = np.asarray(getattr(b, attr))
+            padlen = width - a.shape[0]
+            if padlen:
+                pad = np.full((padlen,) + a.shape[1:], fill, a.dtype)
+                a = np.concatenate([a, pad])
+            outs.append(a)
+        return jnp.asarray(np.stack(outs))
+
+    from blink.bvh.build import EMPTY_BOX
+
+    blo = stack("lo", EMPTY_BOX, nb)
+    bhi = stack("hi", EMPTY_BOX, nb)
+    # Padding nodes: skip to end so a stray visit terminates.
+    bskip = stack("skip", nb, nb)
+    bfirst = stack("first", 0, nb)
+    bcount = stack("count", 0, nb)
+    btv0 = stack("tv0", 0.0, pb)
+    bte1 = stack("te1", 0.0, pb)
+    bte2 = stack("te2", 0.0, pb)
+    btid = stack("tri_id", -1, pb)
+
+    # World-space instance AABBs (transform the 8 BLAS-root corners).
+    n_inst = len(obj_of_inst)
+    ilo = np.zeros((n_inst, 3), np.float32)
+    ihi = np.zeros((n_inst, 3), np.float32)
+    w2o = np.zeros((n_inst, 3, 4), np.float32)
+    tri_offset = np.zeros((n_inst,), np.int64)
+    offset = 0
+    for i in range(n_inst):
+        b = blases[int(obj_of_inst[i])]
+        corners = _mesh_aabb_corners(
+            np.asarray(b.lo[0]), np.asarray(b.hi[0])
+        )
+        m = np.asarray(o2w[i], np.float32)
+        wc = corners @ m[:, :3].T + m[:, 3]
+        ilo[i] = wc.min(axis=0)
+        ihi[i] = wc.max(axis=0)
+        # Invert the affine.
+        rinv = np.linalg.inv(m[:, :3])
+        w2o[i, :, :3] = rinv
+        w2o[i, :, 3] = -rinv @ m[:, 3]
+        tri_offset[i] = offset
+        offset += int(np.asarray(object_tris[int(obj_of_inst[i])].idx).shape[0])
+
+    tlo, thi, tskip, tfirst, tcount, order, _ = build_boxtree(
+        ilo, ihi, tlas_leaf_size
+    )
+    n_leaves = -(-n_inst // tlas_leaf_size)
+    ipad = (1 << max(int(np.ceil(np.log2(max(n_leaves, 1)))), 0)) * tlas_leaf_size
+    inst_slot = np.full((ipad,), -1, np.int64)
+    inst_slot[:n_inst] = order
+
+    return TwoLevelBVH(
+        tlo=jnp.asarray(tlo),
+        thi=jnp.asarray(thi),
+        tskip=jnp.asarray(tskip, jnp.int32),
+        tfirst=jnp.asarray(tfirst, jnp.int32),
+        tcount=jnp.asarray(tcount, jnp.int32),
+        inst_slot=jnp.asarray(inst_slot, jnp.int32),
+        blo=blo, bhi=bhi,
+        bskip=jnp.asarray(bskip, jnp.int32),
+        bfirst=jnp.asarray(bfirst, jnp.int32),
+        bcount=jnp.asarray(bcount, jnp.int32),
+        btv0=btv0, bte1=bte1, bte2=bte2,
+        btid=jnp.asarray(btid, jnp.int32),
+        obj_of_inst=jnp.asarray(obj_of_inst, jnp.int32),
+        w2o=jnp.asarray(w2o),
+        tri_offset=jnp.asarray(tri_offset, jnp.int32),
+        tlas_leaf_size=tlas_leaf_size,
+        blas_leaf_size=blas_leaf_size,
+    )
+
+
+def instance_scene_triangles(object_tris: list, obj_of_inst, o2w):
+    """Flattened world-space Triangles for the Scene (and brute oracle):
+    instance i's triangles occupy global ids [tri_offset[i], +T_obj)."""
+    from blink.scene.scene import Triangles
+
+    verts, idx, uv, mat = [], [], [], []
+    nv = 0
+    for i in range(len(obj_of_inst)):
+        t = object_tris[int(obj_of_inst[i])]
+        v = np.asarray(t.verts, np.float32)
+        m = np.asarray(o2w[i], np.float32)
+        verts.append(v @ m[:, :3].T + m[:, 3])
+        idx.append(np.asarray(t.idx) + nv)
+        uv.append(np.asarray(t.uv))
+        mat.append(np.asarray(t.material_id))
+        nv += v.shape[0]
+    return Triangles(
+        verts=jnp.asarray(np.concatenate(verts)),
+        idx=jnp.asarray(np.concatenate(idx), jnp.int32),
+        uv=jnp.asarray(np.concatenate(uv)),
+        material_id=jnp.asarray(np.concatenate(mat), jnp.int32),
+    )
+
+
+def _walk_blas(o: Array, d: Array, acc: TwoLevelBVH, obj, t_min, best_t, best_prim):
+    """Inner walk of one object's BLAS (object-space ray)."""
+    inv_d = 1.0 / d
+    nb = acc.bskip.shape[1]
+    K = acc.blas_leaf_size
+
+    def cond(state):
+        node, bt, bp = state
+        return node < nb
+
+    def body(state):
+        node, bt, bp = state
+        hit_box = ray_aabb(
+            o, inv_d, t_min, bt, acc.blo[obj, node], acc.bhi[obj, node]
+        )
+        cnt = acc.bcount[obj, node]
+        fst = acc.bfirst[obj, node]
+        leaf_hit = hit_box & (cnt > 0)
+        for j in range(K):
+            s = fst + j
+            t = triangle_t(
+                o, d, acc.btv0[obj, s], acc.bte1[obj, s], acc.bte2[obj, s],
+                t_min, bt,
+            )
+            better = leaf_hit & (j < cnt) & (t < bt)
+            bt = jnp.where(better, t, bt)
+            bp = jnp.where(better, acc.btid[obj, s], bp)
+        node = jnp.where(hit_box, node + 1, acc.bskip[obj, node])
+        return node, bt, bp
+
+    _, bt, bp = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_t, jnp.int32(-1))
+    )
+    better = bp >= 0
+    return jnp.where(better, bt, best_t), bp, better
+
+
+def _walk_two_level_one(o: Array, d: Array, acc: TwoLevelBVH, t_min):
+    """Single-ray two-level walk. Phase 1: TLAS -> candidate instance mask;
+    phase 2: BLAS walk per candidate (fori over instances, masked)."""
+    inv_d = 1.0 / d
+    n_inst = acc.obj_of_inst.shape[0]
+    n_tlas = acc.tskip.shape[0]
+    K = acc.tlas_leaf_size
+
+    def cond(state):
+        node, mask = state
+        return node < n_tlas
+
+    def body(state):
+        node, mask = state
+        hit_box = ray_aabb(
+            o, inv_d, t_min, jnp.asarray(T_MAX, o.dtype),
+            acc.tlo[node], acc.thi[node],
+        )
+        cnt = acc.tcount[node]
+        fst = acc.tfirst[node]
+        leaf_hit = hit_box & (cnt > 0)
+        for j in range(K):
+            inst = acc.inst_slot[fst + j]
+            on = leaf_hit & (j < cnt) & (inst >= 0)
+            mask = mask | (
+                jnp.zeros((n_inst,), bool)
+                .at[jnp.maximum(inst, 0)]
+                .set(on)
+            )
+        node = jnp.where(hit_box, node + 1, acc.tskip[node])
+        return node, mask
+
+    _, inst_mask = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((n_inst,), bool))
+    )
+
+    def inst_body(i, state):
+        best_t, best_prim = state
+        obj = acc.obj_of_inst[i]
+        m = acc.w2o[i]
+        oo = m[:, :3] @ o + m[:, 3]
+        dd = m[:, :3] @ d
+        bt, bp, found = _walk_blas(
+            oo, dd, acc, obj, t_min, best_t, best_prim
+        )
+        use = inst_mask[i] & found
+        best_t = jnp.where(use, bt, best_t)
+        best_prim = jnp.where(use, bp + acc.tri_offset[i], best_prim)
+        return best_t, best_prim
+
+    best_t, best_prim = jax.lax.fori_loop(
+        0, n_inst, inst_body, (jnp.asarray(T_MAX, o.dtype), jnp.int32(-1))
+    )
+    return best_t, best_prim
+
+
+def traverse_two_level(o: Array, d: Array, acc: TwoLevelBVH, t_min=T_MIN):
+    """Closest hit over the two-level structure: (t, global prim)."""
+    return jax.vmap(lambda oo, dd: _walk_two_level_one(oo, dd, acc, t_min))(o, d)

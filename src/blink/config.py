@@ -28,6 +28,7 @@ class RenderConfig:
     bunny_subdiv: int = 6
     sponza_tris: int = 1_000_000
     # Execution knobs.
+    compact: bool = False  # wavefront ray compaction between path bounces
     ray_chunk: int = 0  # 0 = no chunking; else rays per device pass
     donate: bool = True
 

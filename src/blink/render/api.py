@@ -27,10 +27,13 @@ def render_rays(
     integrator: str,
     max_depth: int,
     deterministic: bool = False,
+    compact: bool = False,
 ) -> Array:
     """Radiance for an arbitrary ray batch (the unit the wavefront shards)."""
     if integrator == "path":
-        return li_path(o, d, keys, scene, backend, max_depth, deterministic)
+        return li_path(
+            o, d, keys, scene, backend, max_depth, deterministic, compact
+        )
     return INTEGRATORS[integrator](o, d, keys, scene, backend, deterministic)
 
 
@@ -67,11 +70,12 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
             li_t = render_rays(
                 o[perm], d[perm], pkeys[perm], scene, backend,
                 cfg.integrator, cfg.max_depth, cfg.deterministic,
+                cfg.compact,
             )
             return jnp.zeros_like(li_t).at[perm].set(li_t)
         return render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
-            cfg.deterministic,
+            cfg.deterministic, cfg.compact,
         )
 
     def body(s, acc):

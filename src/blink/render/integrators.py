@@ -117,18 +117,21 @@ def li_path(
     backend,
     max_depth: int = 4,
     deterministic: bool = False,
+    compact: bool = False,
 ) -> Array:
     """Path tracing to `max_depth` with NEE at each vertex (config 4).
 
     Wavefront form as a lax.fori_loop over bounces: the whole ray batch is
-    carried with an alive mask (the Pallas/compaction backend reorders live
-    rays between bounces without changing this estimator — RNG is keyed by
-    pixel id, not position in the batch).
+    carried with an alive mask. With compact=True, rays are re-sorted in
+    HBM between bounces (render.wavefront) — dead rays sink to the tail
+    and live rays regain spatial coherence for the Pallas packet kernel.
+    RNG keys travel with the rays (counter-based on pixel id), so the
+    image is identical with or without compaction.
     """
     n = o.shape[0]
 
     def body(b, state):
-        o, d, beta, radiance, alive = state
+        o, d, beta, radiance, alive, keys, ray_ix = state
         hit = backend.intersect(o, d, scene)
         geom = refine(o, d, hit, scene)
         alive = alive & geom.valid
@@ -153,7 +156,19 @@ def li_path(
         alive = alive & (jnp.max(beta, axis=-1) > 1e-5)
         o = jnp.where(alive[..., None], new_o, o)
         d = jnp.where(alive[..., None], new_d, d)
-        return o, d, beta, radiance, alive
+
+        if compact:
+            from blink.render.wavefront import compaction_order
+
+            perm = compaction_order(alive, o, d)
+            o = o[perm]
+            d = d[perm]
+            beta = beta[perm]
+            radiance = radiance[perm]
+            alive = alive[perm]
+            keys = keys[perm]
+            ray_ix = ray_ix[perm]
+        return o, d, beta, radiance, alive, keys, ray_ix
 
     # Dtype-stable carry: probe what one bounce produces (f32 normally, f64
     # under the FD-validation configuration) so the fori_loop carry matches.
@@ -176,8 +191,15 @@ def li_path(
         jnp.ones((n, 3), dt),
         jnp.zeros((n, 3), dt),
         jnp.ones((n,), bool),
+        keys,
+        jnp.arange(n, dtype=jnp.int32),
     )
-    _, _, _, radiance, _ = jax.lax.fori_loop(0, max_depth, body, state)
+    _, _, _, radiance, _, _, ray_ix = jax.lax.fori_loop(
+        0, max_depth, body, state
+    )
+    if compact:
+        # Scatter per-ray radiance back to original ray order.
+        radiance = jnp.zeros_like(radiance).at[ray_ix].set(radiance)
     return radiance
 
 

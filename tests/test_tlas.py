@@ -1,0 +1,91 @@
+"""Two-level BVH tests (SURVEY.md §4.2 "2-level == 1-level results"):
+instanced scenes with rotation/scale/translation transforms traverse to
+the same hits as brute force over the flattened world-space geometry."""
+import numpy as np
+import jax.numpy as jnp
+
+from blink.bvh.tlas import (
+    build_two_level,
+    instance_scene_triangles,
+    traverse_two_level,
+)
+from blink.bvh import build_flat_bvh
+from blink.kernels.bruteforce import intersect_brute
+from blink.kernels.traverse import intersect_bvh
+from blink.kernels.types import KIND_TRI, T_MAX
+from blink.scene.builders import box, icosphere
+from blink.scene.scene import Triangles, make_scene
+
+
+def _obj(verts, faces):
+    return Triangles(
+        verts=jnp.asarray(verts, jnp.float32),
+        idx=jnp.asarray(faces, jnp.int32),
+        uv=jnp.zeros((len(verts), 2), jnp.float32),
+        material_id=jnp.zeros((len(faces),), jnp.int32),
+    )
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _make_instanced():
+    v1, f1, _ = icosphere(2)
+    v2, f2 = box([-1, -1, -1], [1, 1, 1])
+    objects = [_obj(v1, f1), _obj(v2, f2)]
+    rng = np.random.default_rng(4)
+    insts, o2w = [], []
+    for i in range(6):
+        obj = i % 2
+        m = np.zeros((3, 4), np.float32)
+        scale = 0.5 + rng.random()
+        m[:, :3] = _rot_y(rng.random() * 6.28) * scale
+        m[:, 3] = rng.uniform(-4, 4, 3)
+        insts.append(obj)
+        o2w.append(m)
+    return objects, np.array(insts), np.stack(o2w)
+
+
+def test_two_level_matches_bruteforce():
+    objects, insts, o2w = _make_instanced()
+    acc = build_two_level(objects, insts, o2w)
+    flat = instance_scene_triangles(objects, insts, o2w)
+    scene = make_scene(triangles=flat)
+
+    rng = np.random.default_rng(9)
+    n = 512
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    hb = intersect_brute(o, d, scene)
+    t2, p2 = traverse_two_level(o, d, acc)
+
+    hit_b = np.asarray(hb.t) < 0.99 * T_MAX
+    hit_2 = np.asarray(p2) >= 0
+    np.testing.assert_array_equal(hit_2, hit_b)
+    np.testing.assert_allclose(
+        np.asarray(t2)[hit_b], np.asarray(hb.t)[hit_b], rtol=1e-4, atol=1e-4
+    )
+    same_prim = (np.asarray(p2)[hit_b] == np.asarray(hb.prim)[hit_b]).mean()
+    assert same_prim > 0.99  # coplanar-overlap ties may differ
+
+
+def test_two_level_matches_flat_bvh():
+    objects, insts, o2w = _make_instanced()
+    acc = build_two_level(objects, insts, o2w)
+    flat = instance_scene_triangles(objects, insts, o2w)
+    scene = make_scene(triangles=flat)
+    bvh = build_flat_bvh(flat)
+
+    rng = np.random.default_rng(10)
+    n = 256
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    h1 = intersect_bvh(o, d, scene, bvh)
+    t2, p2 = traverse_two_level(o, d, acc)
+    np.testing.assert_allclose(
+        np.asarray(t2), np.asarray(h1.t), rtol=1e-4, atol=1e-4
+    )
