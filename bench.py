@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Driver-facing benchmark: prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json:2,5): primary rays/s/chip, forward, on the
-1M-triangle Sponza-class BVH scene. vs_baseline is measured/1e9 (the north
-star's >=1e9 rays/s/chip target; the reference publishes no numbers —
-BASELINE.md).
+Headline (BASELINE.json:2,5): primary rays/s/chip, forward (closest-hit
+Pallas BVH traversal), on the 1M-triangle Sponza-class scene. vs_baseline
+is measured/1e9 (the north star's >=1e9 rays/s/chip target; the reference
+publishes no numbers — BASELINE.md).
 
 Runs on whatever accelerator jax selects (the emulated TPU v5e here).
-Scene size can be overridden with BLINK_BENCH_TRIS for smoke runs.
+Overrides for smoke runs: BLINK_BENCH_TRIS, BLINK_BENCH_SIZE.
 """
 from __future__ import annotations
 
@@ -25,19 +25,12 @@ def main() -> int:
     size = int(os.environ.get("BLINK_BENCH_SIZE", "1024"))
 
     from blink.api import build_scene
-    from blink.benchmarks.harness import bench_render, roofline
+    from blink.benchmarks.harness import bench_primary_traversal, roofline
     from blink.config import get_config
 
-    # Headline config: 1M-tri scene, primary rays (forward), BVH backend.
-    cfg = get_config("sponza").override(
-        width=size,
-        height=size,
-        spp=1,
-        integrator="direct",
-        sponza_tris=n_tris,
-    )
+    cfg = get_config("sponza").override(sponza_tris=n_tris)
     scene = build_scene(cfg)
-    fwd = bench_render(scene, cfg)
+    fwd = bench_primary_traversal(scene, size)
     result = {
         "metric": "primary_rays_per_sec_fwd_1mtri",
         "value": fwd["rays_per_s"],
@@ -45,8 +38,10 @@ def main() -> int:
         "vs_baseline": fwd["rays_per_s"] / TARGET_RAYS_PER_S,
         "detail": {
             "n_triangles": scene.n_triangles,
-            "image": [cfg.height, cfg.width],
+            "image": [size, size],
             "wall_s": fwd["wall_s"],
+            "hit_fraction": fwd["hit_fraction"],
+            "n_chunks": fwd["n_chunks"],
             "roofline": roofline(scene.n_triangles, fwd["rays_per_s"]),
         },
     }

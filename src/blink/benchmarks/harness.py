@@ -30,6 +30,55 @@ def _time(fn, *args, warmup: int = 1, iters: int = 3) -> float:
     return times[len(times) // 2]
 
 
+def tile_rays(o, d, h: int, w: int):
+    """Permute rays into the (RAY_ROWS x LANES) pixel tiles the Pallas
+    packet kernel wants (same layout render.api uses)."""
+    import numpy as np
+
+    from blink.kernels.traverse_pallas import LANES, RAY_ROWS
+
+    if h % RAY_ROWS or w % LANES:
+        return o, d
+    ids = np.arange(h * w).reshape(h, w)
+    perm = np.concatenate(
+        [
+            ids[r : r + RAY_ROWS, c : c + LANES].ravel()
+            for r in range(0, h, RAY_ROWS)
+            for c in range(0, w, LANES)
+        ]
+    )
+    return o[perm], d[perm]
+
+
+def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
+    """HEADLINE metric (BASELINE.json:5): primary rays/s, forward,
+    closest-hit over the scene's triangle BVH via the Pallas packet
+    kernels (chunked multi-pass for scenes beyond VMEM)."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_packed,
+        traverse_closest_chunked,
+    )
+    from blink.render.camera import generate_rays
+
+    chunks = build_chunked_packed(scene.triangles)
+    key = jax.random.key(0)
+    o, d, _ = jax.jit(
+        lambda s: generate_rays(s.camera, size, size, key, 0, False)
+    )(scene)
+    o, d = tile_rays(o, d, size, size)
+    f = jax.jit(lambda a, b: traverse_closest_chunked(a, b, chunks))
+    dt = _time(lambda: f(o, d))
+    n = size * size
+    t, prim = f(o, d)
+    return {
+        "wall_s": dt,
+        "rays": n,
+        "rays_per_s": n / dt,
+        "hit_fraction": float(jnp.mean(prim >= 0)),
+        "n_chunks": len(chunks),
+    }
+
+
 def bench_render(scene, cfg, backend=None) -> dict[str, Any]:
     """Forward rays/s for one config."""
     from blink.kernels.api import make_backend

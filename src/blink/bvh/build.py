@@ -129,7 +129,7 @@ def build_boxtree(blo: np.ndarray, bhi: np.ndarray, leaf_size: int):
     return lo, hi, skip, first, count, order, np.concatenate(heap2pre)
 
 
-def build_flat_bvh(tris: Triangles, leaf_size: int = 4) -> FlatBVH:
+def build_flat_bvh(tris: Triangles, leaf_size: int = 16) -> FlatBVH:
     v = np.asarray(tris.verts, np.float32)
     idx = np.asarray(tris.idx, np.int64)
     T = idx.shape[0]

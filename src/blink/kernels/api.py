@@ -59,10 +59,10 @@ def make_backend(name: str, scene: Scene) -> Backend:
     if name in ("bvh", "pallas"):
         from blink.bvh import build_flat_bvh
 
-        bvh = build_flat_bvh(scene.triangles)
         if name == "pallas":
-            from blink.kernels.traverse_pallas import pack_bvh_planes
+            from blink.kernels.traverse_pallas import build_chunked_packed
 
-            return Backend(name=name, bvh=pack_bvh_planes(bvh))
-        return Backend(name=name, bvh=bvh)
+            # VMEM-sized Morton chunks (a 1-element list for small scenes).
+            return Backend(name=name, bvh=build_chunked_packed(scene.triangles))
+        return Backend(name=name, bvh=build_flat_bvh(scene.triangles))
     raise KeyError(f"unknown backend '{name}'")

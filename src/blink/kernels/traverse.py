@@ -97,9 +97,11 @@ def intersect_bvh(
 ) -> Hit:
     """Closest hit over triangle BVH + analytic spheres."""
     if use_pallas:
-        from blink.kernels.traverse_pallas import traverse_closest_pallas
+        from blink.kernels.traverse_pallas import traverse_closest_chunked
 
-        tri_t, tri_prim = traverse_closest_pallas(o, d, bvh)
+        tri_t, tri_prim = traverse_closest_chunked(
+            o, d, bvh if isinstance(bvh, list) else [bvh]
+        )
     else:
         tri_t, tri_prim = traverse_closest(o, d, bvh)
     n = o.shape[0]
@@ -130,9 +132,11 @@ def occluded_bvh(
     """Any-hit occlusion over triangle BVH + analytic spheres."""
     t_far = jax.lax.stop_gradient(t_far)
     if use_pallas:
-        from blink.kernels.traverse_pallas import traverse_anyhit_pallas
+        from blink.kernels.traverse_pallas import traverse_anyhit_chunked
 
-        blocked = traverse_anyhit_pallas(o, d, bvh, t_far)
+        blocked = traverse_anyhit_chunked(
+            o, d, bvh if isinstance(bvh, list) else [bvh], t_far
+        )
     else:
         blocked = traverse_anyhit(o, d, bvh, t_far)
     if scene.n_spheres > 0:

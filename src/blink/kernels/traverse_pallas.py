@@ -322,16 +322,100 @@ def _traverse_pallas(
 
 
 def traverse_closest_pallas(
-    o: Array, d: Array, bvh, t_min: float = T_MIN, interpret: bool = False
+    o: Array, d: Array, bvh, t_min: float = T_MIN, interpret: bool = False,
+    t_far: Array | None = None,
 ):
-    """Closest hit: (t, prim) with prim==-1 on miss. Matches
+    """Closest hit: (t, prim) with prim==-1 on miss (or no hit under the
+    optional per-ray t_far — used by the chunked multi-pass traversal,
+    which threads the running best t through passes). Matches
     kernels.traverse.traverse_closest exactly."""
     packed = bvh if isinstance(bvh, BVHPacked) else pack_bvh_planes(bvh)
-    t_far = jnp.full((o.shape[0],), T_MAX, jnp.float32)
+    if t_far is None:
+        t_far = jnp.full((o.shape[0],), T_MAX, jnp.float32)
     t, prim = _traverse_pallas(
         o, d, t_far, packed, any_hit=False, t_min=t_min, interpret=interpret
     )
     return jax.lax.stop_gradient(t), prim
+
+
+#: max triangles whose packed rows (+ node rows) comfortably fit VMEM.
+CHUNK_TRIS = 120_000
+
+
+def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS):
+    """Partition Morton-ordered triangles into VMEM-sized chunks, one
+    BVHPacked per chunk (global tri ids preserved). Chunks are contiguous
+    Morton ranges, hence spatially compact: a packet that misses a chunk's
+    root box pays exactly one node visit for that chunk.
+    """
+    import numpy as np
+
+    from blink.bvh.build import _morton3, build_flat_bvh
+    from blink.scene.scene import Triangles
+
+    v = np.asarray(tris.verts, np.float32)
+    idx = np.asarray(tris.idx, np.int64)
+    T = idx.shape[0]
+    if T <= chunk_tris:
+        return [pack_bvh_planes(build_flat_bvh(tris, leaf_size))]
+    cent = (v[idx[:, 0]] + v[idx[:, 1]] + v[idx[:, 2]]) / 3.0
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0)
+    order = np.argsort(
+        _morton3((cent - lo) / np.maximum(hi - lo, 1e-12)), kind="stable"
+    )
+    n_chunks = -(-T // chunk_tris)
+    out = []
+    for c in range(n_chunks):
+        sel = order[c * chunk_tris : (c + 1) * chunk_tris]
+        sub = Triangles(
+            verts=tris.verts,  # shared vertex pool
+            idx=tris.idx[sel],
+            uv=tris.uv,
+            material_id=tris.material_id[sel],
+        )
+        bvh = build_flat_bvh(sub, leaf_size)
+        # Remap local tri ids (positions in `sel`) to global tri ids.
+        tid = np.asarray(bvh.tri_id)
+        glob = np.where(tid >= 0, sel[np.clip(tid, 0, len(sel) - 1)], -1)
+        bvh = bvh.replace(tri_id=jnp.asarray(glob, jnp.int32))
+        out.append(pack_bvh_planes(bvh))
+    return out
+
+
+def traverse_closest_chunked(
+    o: Array, d: Array, chunks, t_min: float = T_MIN, interpret: bool = False
+):
+    """Closest hit over a list of chunk BVHs: sequential passes threading
+    the running best t as each pass's t_far (exact: each chunk's walk is
+    culled by hits found in previous chunks)."""
+    n = o.shape[0]
+    best_t = jnp.full((n,), T_MAX, jnp.float32)
+    best_prim = jnp.full((n,), -1, jnp.int32)
+    for packed in chunks:
+        t, prim = _traverse_pallas(
+            o, d, best_t, packed, any_hit=False, t_min=t_min,
+            interpret=interpret,
+        )
+        better = prim >= 0
+        best_t = jnp.where(better, t, best_t)
+        best_prim = jnp.where(better, prim, best_prim)
+    return jax.lax.stop_gradient(best_t), best_prim
+
+
+def traverse_anyhit_chunked(
+    o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
+    interpret: bool = False,
+):
+    blocked = jnp.zeros((o.shape[0],), bool)
+    for packed in chunks:
+        # Blocked rays get t_far=0: their packets' slab tests all fail.
+        tf = jnp.where(blocked, 0.0, t_far)
+        _, prim = _traverse_pallas(
+            o, d, tf, packed, any_hit=True, t_min=t_min, interpret=interpret
+        )
+        blocked = blocked | (prim >= 0)
+    return blocked
 
 
 def traverse_anyhit_pallas(

@@ -143,24 +143,22 @@ def make_scene(
 
 
 def derive_lights(materials: Materials, spheres: Spheres, triangles: Triangles) -> Lights:
-    """Build the NEE light list from emissive materials (host-side, numpy)."""
+    """Build the NEE light list from emissive materials (host-side, numpy,
+    vectorized — scenes have up to 10^6 primitives)."""
     em = np.asarray(materials.emission)
     is_emissive = em.sum(axis=-1) > 0.0
-    kinds, prims = [], []
     tri_mat = np.asarray(triangles.material_id)
-    for t in range(tri_mat.shape[0]):
-        if is_emissive[tri_mat[t]]:
-            kinds.append(LIGHT_TRI)
-            prims.append(t)
     sph_mat = np.asarray(spheres.material_id)
-    for s in range(sph_mat.shape[0]):
-        if is_emissive[sph_mat[s]]:
-            kinds.append(LIGHT_SPHERE)
-            prims.append(s)
-    return Lights(
-        kind=jnp.asarray(np.array(kinds, np.int32).reshape(-1)),
-        prim=jnp.asarray(np.array(prims, np.int32).reshape(-1)),
+    tri_ids = np.nonzero(is_emissive[tri_mat])[0]
+    sph_ids = np.nonzero(is_emissive[sph_mat])[0]
+    kinds = np.concatenate(
+        [
+            np.full(tri_ids.shape, LIGHT_TRI, np.int32),
+            np.full(sph_ids.shape, LIGHT_SPHERE, np.int32),
+        ]
     )
+    prims = np.concatenate([tri_ids, sph_ids]).astype(np.int32)
+    return Lights(kind=jnp.asarray(kinds), prim=jnp.asarray(prims))
 
 
 def triangle_vertices(tris: Triangles, prim: Array):

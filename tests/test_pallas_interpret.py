@@ -38,3 +38,29 @@ def test_anyhit_parity_interpret():
     b_ref = traverse_anyhit(o, d, bvh, t_far)
     b_pl = traverse_anyhit_pallas(o, d, planes, t_far, interpret=True)
     np.testing.assert_array_equal(np.asarray(b_pl), np.asarray(b_ref))
+
+
+def test_chunked_parity_interpret():
+    """Chunked multi-pass traversal == single-tree reference (the path the
+    1M-triangle scenes take on TPU), including anyhit."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_packed,
+        traverse_anyhit_chunked,
+        traverse_closest_chunked,
+    )
+
+    tris = _random_tris(3000, 11)
+    chunks = build_chunked_packed(tris, chunk_tris=1000)
+    assert len(chunks) == 3
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(300, 12)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_ch, p_ch = traverse_closest_chunked(o, d, chunks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(t_ch), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_ch), np.asarray(p_ref))
+    t_far = jnp.full((300,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_ch = traverse_anyhit_chunked(o, d, chunks, t_far, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_ch), np.asarray(b_ref))
