@@ -52,6 +52,8 @@ LANES = 128
 #: node walk over more rays at the price of a larger node-union; 32 rows
 #: (4096 rays = a 32x128 pixel tile) benchmarked fastest on the v5e.
 RAY_ROWS = 32
+#: independent walks interleaved per kernel instance (latency hiding).
+N_WALKS = 1
 NODE_LANES = 16  # lanes reserved per node record (9 used)
 NODES_PER_ROW = LANES // NODE_LANES  # 8
 TRI_LANES = 10  # lanes per triangle record
@@ -184,18 +186,6 @@ def _mt_tri(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
 def _make_kernel(n_nodes: int, leaf_size: int, any_hit: bool, t_min: float):
     def kernel(o_ref, d_ref, tfar_ref, nrow_ref, trow_ref,
                t_out_ref, prim_out_ref):
-        ox = o_ref[0]
-        oy = o_ref[1]
-        oz = o_ref[2]
-        dx = d_ref[0]
-        dy = d_ref[1]
-        dz = d_ref[2]
-        ix = 1.0 / dx
-        iy = 1.0 / dy
-        iz = 1.0 / dz
-        best0 = jnp.minimum(tfar_ref[...], T_MAX)
-        prim0 = jnp.full((RAY_ROWS, LANES), -1, jnp.int32)
-
         def read_node(n):
             """Roll node record n to lane 0; return the (1,128) row."""
             row = nrow_ref[pl.ds(n // NODES_PER_ROW, 1), :]
@@ -205,28 +195,48 @@ def _make_kernel(n_nodes: int, leaf_size: int, any_hit: bool, t_min: float):
             row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
             return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
 
+        # N_WALKS independent sub-packets per kernel instance, stepped in
+        # lockstep: each walk's serial chain (row load -> roll -> extract
+        # -> slab -> any-reduce -> cursor select) is latency-bound, so
+        # interleaving independent chains fills the pipeline bubbles.
+        rays = []
+        for w in range(N_WALKS):
+            rs = slice(w * RAY_ROWS, (w + 1) * RAY_ROWS)
+            ox = o_ref[0, rs]
+            oy = o_ref[1, rs]
+            oz = o_ref[2, rs]
+            dx = d_ref[0, rs]
+            dy = d_ref[1, rs]
+            dz = d_ref[2, rs]
+            rays.append(
+                (ox, oy, oz, dx, dy, dz, 1.0 / dx, 1.0 / dy, 1.0 / dz)
+            )
+
         def cond(c):
-            node, best_t, prim = c
-            running = node < n_nodes
-            if any_hit:
-                running = running & jnp.any(prim < 0)
+            running = jnp.bool_(False)
+            for w in range(N_WALKS):
+                node, best_t, prim = c[w]
+                r = node < n_nodes
+                if any_hit:
+                    r = r & jnp.any(prim < 0)
+                running = running | r
             return running
 
-        def body(c):
+        def step(walk, c):
+            ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[walk]
             node, best_t, prim = c
-            nr = read_node(node)
+            live = node < n_nodes
+            nr = read_node(jnp.minimum(node, n_nodes - 1))
             need = _slab(
                 ox, oy, oz, ix, iy, iz, t_min, best_t,
                 nr[0, 0], nr[0, 1], nr[0, 2], nr[0, 3], nr[0, 4], nr[0, 5],
-            )
+            ) & live
             if any_hit:
                 need = need & (prim < 0)
             hit_any = jnp.any(need)
             cnt = jnp.int32(nr[0, 8])
             fst = jnp.int32(nr[0, 7])
 
-            # Leaf tests only run when some lane enters a leaf (~25% of
-            # visits); internal-node iterations skip them via lax.cond.
             def leaf_body(carry):
                 best_t, prim = carry
                 for j in range(leaf_size):
@@ -246,24 +256,38 @@ def _make_kernel(n_nodes: int, leaf_size: int, any_hit: bool, t_min: float):
             best_t, prim = jax.lax.cond(
                 hit_any & (cnt > 0), leaf_body, lambda c: c, (best_t, prim)
             )
-            node = jnp.where(hit_any, node + 1, jnp.int32(nr[0, 6]))
+            nxt = jnp.where(hit_any, node + 1, jnp.int32(nr[0, 6]))
+            node = jnp.where(live, nxt, node)
             return node, best_t, prim
 
-        _, best_t, prim = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), best0, prim0)
+        def body(c):
+            return tuple(step(w, c[w]) for w in range(N_WALKS))
+
+        init = tuple(
+            (
+                jnp.int32(0),
+                jnp.minimum(
+                    tfar_ref[w * RAY_ROWS : (w + 1) * RAY_ROWS], T_MAX
+                ),
+                jnp.full((RAY_ROWS, LANES), -1, jnp.int32),
+            )
+            for w in range(N_WALKS)
         )
-        t_out_ref[...] = best_t
-        prim_out_ref[...] = prim
+        final = jax.lax.while_loop(cond, body, init)
+        for w in range(N_WALKS):
+            rs = slice(w * RAY_ROWS, (w + 1) * RAY_ROWS)
+            t_out_ref[rs] = final[w][1]
+            prim_out_ref[rs] = final[w][2]
 
     return kernel
 
 
 def _pack_rays(o: Array, d: Array, t_far: Array):
-    """Pad to a packet multiple; (n,3) -> (3, G*RAY_ROWS, 128)."""
+    """Pad to a (N_WALKS x packet) multiple; (n,3) -> (3, G*RAY_ROWS, 128)."""
     n = o.shape[0]
-    packet = RAY_ROWS * LANES
-    g = -(-n // packet)
-    pad = g * packet - n
+    packet = RAY_ROWS * LANES * N_WALKS
+    g = -(-n // packet) * N_WALKS  # number of RAY_ROWS-row groups
+    pad = g * RAY_ROWS * LANES - n
     o32 = jnp.asarray(o, jnp.float32)
     d32 = jnp.asarray(d, jnp.float32)
     tf = jnp.asarray(jnp.broadcast_to(t_far, (n,)), jnp.float32)
@@ -293,11 +317,12 @@ def _traverse_pallas(
     o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
 
     kernel = _make_kernel(packed.n_nodes, packed.leaf_size, any_hit, t_min)
+    rows = RAY_ROWS * N_WALKS
     ray3 = pl.BlockSpec(
-        (3, RAY_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (3, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     ray1 = pl.BlockSpec(
-        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     def whole(arr: Array) -> pl.BlockSpec:
@@ -309,7 +334,7 @@ def _traverse_pallas(
 
     t_out, prim_out = pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(g // N_WALKS,),
         in_specs=[ray3, ray3, ray1, whole(packed.nrow), whole(packed.trow)],
         out_specs=(ray1, ray1),
         out_shape=(
