@@ -52,7 +52,14 @@ def cmd_render(args: argparse.Namespace) -> int:
     cfg = _load_cfg(args)
     scene = build_scene(cfg)
     t0 = time.perf_counter()
-    img = jax.block_until_ready(render(scene, cfg))
+    if getattr(args, "dist", 0):
+        from blink.dist import dist_render, make_mesh
+
+        img = jax.block_until_ready(
+            dist_render(scene, cfg, mesh=make_mesh(args.dist))
+        )
+    else:
+        img = jax.block_until_ready(render(scene, cfg))
     dt = time.perf_counter() - t0
     rays = cfg.width * cfg.height * cfg.spp
     print(
@@ -130,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("render", help="render a config to an image")
     _add_common(pr)
     pr.add_argument("--out", default="", help=".npy or .ppm output path")
+    pr.add_argument(
+        "--dist", type=int, default=0, metavar="N",
+        help="shard rays over an N-device mesh (config 5 path; N=0 single)",
+    )
     pr.set_defaults(fn=cmd_render)
 
     pf = sub.add_parser("fit", help="inverse rendering (config 3)")

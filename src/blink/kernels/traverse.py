@@ -61,7 +61,13 @@ def _walk_one(o: Array, d: Array, bvh: FlatBVH, t_min, t_far, any_hit: bool):
     # f32 normally; f64 under FD-validation runs (dtype follows inputs).
     dt = jnp.result_type(o.dtype, d.dtype, bvh.tv0.dtype)
     t0 = jnp.minimum(jnp.asarray(t_far, dt), jnp.asarray(T_MAX, dt))
-    state = (jnp.int32(0), t0, jnp.int32(-1))
+    # Derive carries from ALL data inputs so their varying-manual-axes
+    # type matches the loop outputs inside jax.shard_map regions (any of
+    # o, d, t_far may carry the mesh-varying type; fresh constants would
+    # be rejected by the carry check).
+    vary_f = (o[0] + d[0]) * 0 + t0 * 0
+    vary_i = vary_f.astype(jnp.int32)
+    state = (jnp.int32(0) + vary_i, t0 + vary_f, jnp.int32(-1) + vary_i)
     _, best_t, best_prim = jax.lax.while_loop(cond, body, state)
     return best_t, best_prim
 

@@ -185,14 +185,21 @@ def li_path(
         d,
     )
     dt = probe.dtype
+    # Derive every carry init from the (possibly shard_map-varying) ray
+    # arrays so the loop carries type-match under jax.shard_map's varying
+    # manual-axes checking in any context (fresh jnp.zeros would be
+    # unvarying and rejected inside a sharded region).
+    # (o alone can be UNVARYING — it is a broadcast camera origin — while
+    # d varies per pixel; absorb both.)
+    zero3 = (o.astype(dt) + d.astype(dt)) * 0
     state = (
-        o.astype(dt),
+        o.astype(dt) + zero3,
         d.astype(dt),
-        jnp.ones((n, 3), dt),
-        jnp.zeros((n, 3), dt),
-        jnp.ones((n,), bool),
+        zero3 + 1.0,
+        zero3,
+        zero3[..., 0] == zero3[..., 0],
         keys,
-        jnp.arange(n, dtype=jnp.int32),
+        jnp.arange(n, dtype=jnp.int32) + zero3[..., 0].astype(jnp.int32),
     )
     _, _, _, radiance, _, _, ray_ix = jax.lax.fori_loop(
         0, max_depth, body, state

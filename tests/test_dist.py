@@ -65,3 +65,17 @@ def test_uneven_height_raises():
     cfg = CFG.override(height=30)
     with pytest.raises(ValueError):
         dist_render(build_scene(cfg), cfg, BACKEND, make_mesh(8))
+
+
+def test_dist_path_tracing_matches_single():
+    """Config-5 shape: the path integrator (bounce loop, NEE, BVH) under
+    shard_map — bit-identical to single-device."""
+    cfg = get_config("pod").override(
+        width=32, height=32, spp=1, max_depth=2, sponza_tris=4_000,
+        deterministic=True, backend="bvh",
+    )
+    scene = build_scene(cfg)
+    be = make_backend("bvh", scene)
+    img1 = np.asarray(render(scene, cfg, be))
+    img8 = np.asarray(dist_render(scene, cfg, be, make_mesh(8)))
+    np.testing.assert_array_equal(img8, img1)

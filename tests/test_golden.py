@@ -45,3 +45,19 @@ def test_spp_accumulation_reduces_noise():
     e1 = np.abs(img1 - ref).mean()
     e4 = np.abs(img4 - ref).mean()
     assert e4 < e1  # more samples -> closer to the converged image
+
+
+def test_cornell_matches_committed_golden():
+    """Regression vs the COMMITTED golden (catches both implementations
+    drifting together — the runtime-oracle test alone cannot)."""
+    import os
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "cornell_64_det.npy")
+    )
+    cfg = get_config("cornell").override(
+        width=64, height=64, deterministic=True, backend="brute"
+    )
+    img = np.asarray(render(build_scene(cfg), cfg))
+    close = np.isclose(img, golden, atol=1e-4)
+    assert close.mean() > 0.999

@@ -86,3 +86,18 @@ def test_build_scene_names():
         cfg = get_config(name)
         s = build_scene(cfg)
         assert s.n_lights > 0
+
+
+def test_sponza_config_renders_cpu_smoke():
+    """Config-4 pipeline smoke on CPU: textured path tracing over a
+    (shrunken) Sponza-class scene through the BVH backend."""
+    from blink.render.api import render
+
+    cfg = get_config("sponza").override(
+        width=24, height=24, spp=1, max_depth=2, sponza_tris=8_000,
+        backend="bvh", deterministic=True,
+    )
+    s = build_scene(cfg)
+    assert s.textures.shape[0] == 2  # textured BRDFs present
+    img = np.asarray(render(s, cfg))
+    assert np.isfinite(img).all() and img.max() > 0.01
