@@ -15,7 +15,6 @@ from blink.kernels.types import T_MAX
 
 Array = jnp.ndarray
 
-_DET_EPS = 1e-9
 
 
 def triangle_t(o: Array, d: Array, v0: Array, e1: Array, e2: Array,

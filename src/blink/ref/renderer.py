@@ -23,7 +23,6 @@ T_MIN = 1e-3
 RAY_EPS = 1e-3
 DET_U1 = 4.0 / 9.0
 DET_U2 = 0.5
-_DET_EPS = 1e-9
 
 
 def _np_scene(scene: Scene):
