@@ -28,6 +28,10 @@ class RenderConfig:
     bunny_subdiv: int = 6
     sponza_tris: int = 1_000_000
     # Execution knobs.
+    # Soft-silhouette gradient mode for sphere geometry optimization
+    # (diff.soft): 0 = off (pure fixed-topology gradients). The rendered
+    # IMAGE is identical either way; only gradients change.
+    soft_sigma: float = 0.0
     compact: bool = False  # wavefront ray compaction between path bounces
     ray_chunk: int = 0  # 0 = no chunking; else rays per device pass
     donate: bool = True

@@ -28,11 +28,18 @@ def render_rays(
     max_depth: int,
     deterministic: bool = False,
     compact: bool = False,
+    soft_sigma: float = 0.0,
 ) -> Array:
     """Radiance for an arbitrary ray batch (the unit the wavefront shards)."""
     if integrator == "path":
         return li_path(
             o, d, keys, scene, backend, max_depth, deterministic, compact
+        )
+    if soft_sigma > 0.0:
+        from blink.diff.soft import li_direct_soft
+
+        return li_direct_soft(
+            o, d, keys, scene, backend, deterministic, soft_sigma
         )
     return INTEGRATORS[integrator](o, d, keys, scene, backend, deterministic)
 
@@ -70,12 +77,12 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
             li_t = render_rays(
                 o[perm], d[perm], pkeys[perm], scene, backend,
                 cfg.integrator, cfg.max_depth, cfg.deterministic,
-                cfg.compact,
+                cfg.compact, cfg.soft_sigma,
             )
             return jnp.zeros_like(li_t).at[perm].set(li_t)
         return render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
-            cfg.deterministic, cfg.compact,
+            cfg.deterministic, cfg.compact, cfg.soft_sigma,
         )
 
     def body(s, acc):

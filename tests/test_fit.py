@@ -82,3 +82,39 @@ def test_fit_resume_continues(tmp_path):
     )
     assert len(h2) == 10  # steps 10..19 only
     assert h2[-1] <= h1[0]
+
+
+def test_fit_recovers_sphere_positions_soft():
+    """Config 3 proper (BASELINE.json:9): sphere POSITION recovery.
+
+    Fixed-topology gradients alone cannot descend this loss (silhouette
+    terms dominate — see diff.soft); with soft-visibility gradients
+    (cfg.soft_sigma) Adam recovers the positions. Forward images are
+    identical in soft mode (verified below), only gradients change.
+    """
+    cfg = get_config("fit").override(
+        width=48, height=48, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    target = render(scene, cfg)
+    cfg_soft = cfg.override(soft_sigma=0.15)
+    np.testing.assert_array_equal(
+        np.asarray(render(scene, cfg_soft)), np.asarray(target)
+    )
+
+    key = jax.random.key(11)
+    noise = 0.08 * jax.random.normal(
+        key, scene.spheres.center.shape, scene.spheres.center.dtype
+    )
+    scene0 = scene.replace(
+        spheres=scene.spheres.replace(center=scene.spheres.center + noise)
+    )
+    err0 = float(jnp.abs(noise).mean())
+
+    fitted, history = fit(
+        scene0, target, cfg_soft,
+        FitConfig(steps=120, lr=1e-2, optimize=("sphere_center",)),
+    )
+    err1 = float(jnp.abs(fitted.spheres.center - scene.spheres.center).mean())
+    assert history[-1] < history[0] * 0.45, (history[0], history[-1])
+    assert err1 < err0 * 0.6, (err0, err1)
