@@ -17,7 +17,7 @@ import optax
 
 from blink.ckpt import load_ckpt, save_ckpt
 from blink.config import FitConfig, RenderConfig
-from blink.obs.log import JsonlLogger
+from blink.obs.log import JsonlLogger, TensorboardLogger
 from blink.render.api import render, render_image
 from blink.scene.scene import Scene
 
@@ -169,6 +169,7 @@ def fit(
         return params, opt_state, loss
 
     log = JsonlLogger(fit_cfg.log_path)
+    tb = TensorboardLogger(fit_cfg.tb_dir)
     history = []
     for step in range(start_step, fit_cfg.steps):
         params, opt_state, loss = step_fn(
@@ -177,6 +178,10 @@ def fit(
         loss_f = float(loss)
         history.append(loss_f)
         log.log(step=step, loss=loss_f)
+        tb.scalar("fit/loss", loss_f, step)
+        if fit_cfg.tb_image_every and (step + 1) % fit_cfg.tb_image_every == 0:
+            img = render_image(merge_params(scene0, params), cfg, backend)
+            tb.image("fit/render", img, step)
         if (
             fit_cfg.ckpt_path
             and fit_cfg.ckpt_every > 0
@@ -184,4 +189,5 @@ def fit(
         ):
             save_ckpt(fit_cfg.ckpt_path, step + 1, params, opt_state)
     log.close()
+    tb.close()
     return merge_params(scene0, params), history

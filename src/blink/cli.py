@@ -22,6 +22,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--deterministic", action="store_true", default=None)
     p.add_argument("--scene", default=None, help="cornell|bunny|sponza|obj:<path>")
     p.add_argument("--sponza-tris", dest="sponza_tris", type=int, default=None)
+    p.add_argument("--soft-sigma", dest="soft_sigma", type=float, default=None,
+                   help="soft-silhouette gradient scale (0=off; images unchanged)")
 
 
 def _load_cfg(args: argparse.Namespace):
@@ -39,6 +41,7 @@ def _load_cfg(args: argparse.Namespace):
         deterministic=args.deterministic,
         scene=args.scene,
         sponza_tris=args.sponza_tris,
+        soft_sigma=args.soft_sigma,
     )
 
 
@@ -51,7 +54,11 @@ def cmd_render(args: argparse.Namespace) -> int:
 
     cfg = _load_cfg(args)
     scene = build_scene(cfg)
+    from blink.obs.profile import trace
+
     t0 = time.perf_counter()
+    prof = trace(getattr(args, "profile", ""))
+    prof.__enter__()
     if getattr(args, "dist", 0):
         from blink.dist import dist_render, make_mesh
 
@@ -60,6 +67,7 @@ def cmd_render(args: argparse.Namespace) -> int:
         )
     else:
         img = jax.block_until_ready(render(scene, cfg))
+    prof.__exit__(None, None, None)
     dt = time.perf_counter() - t0
     rays = cfg.width * cfg.height * cfg.spp
     print(
@@ -107,6 +115,7 @@ def cmd_fit(args: argparse.Namespace) -> int:
         lr=args.lr,
         ckpt_path=args.ckpt or "",
         log_path=args.log or "",
+        tb_dir=getattr(args, "tb", "") or "",
     )
     fitted, history = fit(scene0, target, cfg, fit_cfg, resume_from=args.resume or "")
     print(
@@ -141,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
         "--dist", type=int, default=0, metavar="N",
         help="shard rays over an N-device mesh (config 5 path; N=0 single)",
     )
+    pr.add_argument(
+        "--profile", default="",
+        help="write a jax.profiler trace to this logdir (tensorboard-viewable)",
+    )
     pr.set_defaults(fn=cmd_render)
 
     pf = sub.add_parser("fit", help="inverse rendering (config 3)")
@@ -151,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--ckpt", default="")
     pf.add_argument("--resume", default="")
     pf.add_argument("--log", default="")
+    pf.add_argument("--tb", default="", help="tensorboard logdir")
     pf.set_defaults(fn=cmd_fit)
 
     pb = sub.add_parser("bench", help="benchmark harness")

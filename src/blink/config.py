@@ -58,6 +58,8 @@ class FitConfig:
     ckpt_every: int = 50
     ckpt_path: str = ""
     log_path: str = ""
+    tb_dir: str = ""  # tensorboard scalars/images (optional)
+    tb_image_every: int = 0  # 0 = no image summaries
     seed: int = 0
 
 

@@ -118,3 +118,24 @@ def test_fit_recovers_sphere_positions_soft():
     err1 = float(jnp.abs(fitted.spheres.center - scene.spheres.center).mean())
     assert history[-1] < history[0] * 0.45, (history[0], history[-1])
     assert err1 < err0 * 0.6, (err0, err1)
+
+
+def test_fit_tensorboard_summaries(tmp_path):
+    """SURVEY.md §5 observability: tensorboard scalars + image summaries."""
+    cfg = get_config("fit").override(
+        width=16, height=16, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    target = render(scene, cfg)
+    tb = str(tmp_path / "tb")
+    fit(
+        scene, target, cfg,
+        FitConfig(steps=3, lr=1e-2, optimize=("albedo",),
+                  tb_dir=tb, tb_image_every=2),
+    )
+    import os
+
+    files = []
+    for root, _, fn in os.walk(tb):
+        files += [f for f in fn if "tfevents" in f]
+    assert files, "no tensorboard event files written"
