@@ -6,8 +6,16 @@ Pallas BVH traversal), on the 1M-triangle Sponza-class scene. vs_baseline
 is measured/1e9 (the north star's >=1e9 rays/s/chip target; the reference
 publishes no numbers — BASELINE.md).
 
+detail carries the rest of the SURVEY.md §7.3 deliverable:
+  - fwd_bwd: rays/s forward+backward (value_and_grad of pixel-MSE through
+    the full render on the 1M scene, material+geometry params)
+  - grad_allclose: quick on-device FD probe of an exactly-linear parameter
+    (albedo) — pass/fail at 5% (f32 FD floor)
+  - scaling: sharded-renderer points (virtual devices here; see note)
+
 Runs on whatever accelerator jax selects (the emulated TPU v5e here).
-Overrides for smoke runs: BLINK_BENCH_TRIS, BLINK_BENCH_SIZE.
+Overrides for smoke runs: BLINK_BENCH_TRIS, BLINK_BENCH_SIZE,
+BLINK_BENCH_FAST=1 (skip fwd_bwd/grads/scaling).
 """
 from __future__ import annotations
 
@@ -20,9 +28,79 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src
 TARGET_RAYS_PER_S = 1e9
 
 
+def _fwd_bwd(scene, size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from blink.api import extract_params, loss_fn
+    from blink.benchmarks.harness import _time
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+
+    cfg = get_config("sponza").override(
+        width=size, height=size, spp=1, integrator="direct", backend="pallas"
+    )
+    backend = make_backend("pallas", scene)
+    params = extract_params(scene, ("albedo", "emission", "tri_verts"))
+    target = jnp.zeros((size, size, 3), jnp.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def vg(params, scene, cfg, backend, target):
+        return jax.value_and_grad(loss_fn)(params, scene, cfg, backend, target)
+
+    dt = _time(lambda: vg(params, scene, cfg, backend, target))
+    rays = size * size
+    return {"wall_s": dt, "rays_per_s_fwd_bwd": rays / dt, "image": [size, size]}
+
+
+def _grad_allclose_probe():
+    """FD-vs-AD on albedo (linear => exact) at f32-safe tolerances."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blink.api import build_scene, extract_params, merge_params
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+    from blink.render.api import render_image
+
+    cfg = get_config("cornell").override(
+        width=32, height=32, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    backend = make_backend("brute", scene)
+
+    def loss(v):
+        s = merge_params(scene, {"albedo": v})
+        return jnp.mean(render_image(s, cfg, backend) ** 2)
+
+    jl = jax.jit(loss)
+    x0 = extract_params(scene, ("albedo",))["albedo"]
+    g = np.asarray(jax.jit(jax.grad(loss))(x0))
+    # Probe the 3 largest-gradient components: f32 FD noise is ~ulp(loss)/
+    # (2 eps) ≈ 2e-5, so tiny-gradient entries would only measure noise
+    # (the f64 suite in tests/test_grads.py covers the full spectrum at
+    # the spec's atol 1e-4).
+    flat = np.argsort(-np.abs(g).ravel())[:3]
+    ok = True
+    worst = 0.0
+    for fi in flat:
+        e = np.zeros_like(np.asarray(x0)).ravel()
+        e[fi] = 1e-2
+        e = e.reshape(np.asarray(x0).shape)
+        fd = (float(jl(x0 + e)) - float(jl(x0 - e))) / 2e-2
+        rel = abs(g.ravel()[fi] - fd) / max(abs(fd), 1e-6)
+        worst = max(worst, rel)
+        ok = ok and (rel < 0.05)
+    return {"pass": bool(ok), "worst_rel_err": float(worst), "param": "albedo"}
+
+
 def main() -> int:
     n_tris = int(os.environ.get("BLINK_BENCH_TRIS", "1000000"))
     size = int(os.environ.get("BLINK_BENCH_SIZE", "1024"))
+    fast = os.environ.get("BLINK_BENCH_FAST", "") == "1"
 
     from blink.api import build_scene
     from blink.benchmarks.harness import bench_primary_traversal, roofline
@@ -31,19 +109,44 @@ def main() -> int:
     cfg = get_config("sponza").override(sponza_tris=n_tris)
     scene = build_scene(cfg)
     fwd = bench_primary_traversal(scene, size)
+    detail = {
+        "n_triangles": scene.n_triangles,
+        "image": [size, size],
+        "wall_s": fwd["wall_s"],
+        "hit_fraction": fwd["hit_fraction"],
+        "n_chunks": fwd["n_chunks"],
+        "roofline": roofline(scene.n_triangles, fwd["rays_per_s"]),
+    }
+    if not fast:
+        detail["fwd_bwd"] = _fwd_bwd(scene, min(size, 512))
+        detail["grad_allclose"] = _grad_allclose_probe()
+        # Scaling points need the 8-virtual-device CPU mesh, which must be
+        # configured before backend init — run in a subprocess.
+        import subprocess
+
+        code = (
+            "import jax;"
+            "jax.config.update('jax_platforms','cpu');"
+            "jax.config.update('jax_num_cpu_devices',8);"
+            "import sys,json;sys.path.insert(0,'src');"
+            "from blink.benchmarks.harness import bench_scaling;"
+            "print(json.dumps(bench_scaling()))"
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            detail["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # never fail the headline on the side dish
+            detail["scaling"] = {"error": str(e)[:200]}
     result = {
         "metric": "primary_rays_per_sec_fwd_1mtri",
         "value": fwd["rays_per_s"],
         "unit": "rays/s/chip",
         "vs_baseline": fwd["rays_per_s"] / TARGET_RAYS_PER_S,
-        "detail": {
-            "n_triangles": scene.n_triangles,
-            "image": [size, size],
-            "wall_s": fwd["wall_s"],
-            "hit_fraction": fwd["hit_fraction"],
-            "n_chunks": fwd["n_chunks"],
-            "roofline": roofline(scene.n_triangles, fwd["rays_per_s"]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
     return 0

@@ -313,6 +313,12 @@ def _traverse_pallas(
     t_min: float = T_MIN,
     interpret: bool = False,
 ):
+    # Topology oracle: pallas_call has no AD rule, and none is wanted —
+    # traversal outputs integers at fixed topology (SURVEY.md §3.2).
+    # Severing the inputs keeps value_and_grad from linearizing the kernel
+    # when rays/shadow origins are themselves differentiated values.
+    o, d, t_far = jax.lax.stop_gradient((o, d, t_far))
+    packed = jax.lax.stop_gradient(packed)
     n = o.shape[0]
     o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
 
