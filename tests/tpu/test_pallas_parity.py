@@ -44,3 +44,43 @@ def test_anyhit_parity_tpu():
     b_ref = traverse_anyhit(o, d, bvh, t_far)
     b_pl = traverse_anyhit_pallas(o, d, planes, t_far)
     np.testing.assert_array_equal(np.asarray(b_pl), np.asarray(b_ref))
+
+
+def test_chunked_parity_tpu():
+    from blink.kernels.traverse_pallas import (
+        build_chunked_packed,
+        traverse_closest_chunked,
+    )
+
+    tris = _random_tris(3000, 11)
+    chunks = build_chunked_packed(tris, chunk_tris=1000)
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(512, 12)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_ch, p_ch = traverse_closest_chunked(o, d, chunks)
+    np.testing.assert_allclose(
+        np.asarray(t_ch), np.asarray(t_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(p_ch), np.asarray(p_ref))
+
+
+def test_render_pipeline_tpu_matches_reference_topology():
+    """Full direct-lighting render on-chip with the pallas backend vs the
+    committed numpy-oracle golden (end-to-end device correctness)."""
+    from blink.api import build_scene
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+    from blink.render.api import _render_jit
+
+    golden = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "..", "golden", "cornell_64_det.npy"
+        )
+    )
+    cfg = get_config("cornell").override(
+        width=64, height=64, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    img = np.asarray(_render_jit(scene, cfg, make_backend("brute", scene)))
+    close = np.isclose(img, golden, atol=1e-4)
+    assert close.mean() > 0.999
