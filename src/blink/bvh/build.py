@@ -5,8 +5,9 @@ Construction (fully vectorized numpy — no Python-per-node loops, so 1M-tri
 builds take seconds):
   1. Triangle centroids -> 30-bit Morton codes -> argsort (the radix order).
   2. Consecutive runs of `leaf_size` sorted triangles become leaves; the
-     leaf count is padded to a power of two L (padding leaves are empty
-     with inverted bounds, so every ray-box test rejects them).
+     leaf count is padded to a power of two L (padding leaves/subtrees get
+     the far-away EMPTY_BOX point box, which every ray-box test rejects —
+     see the EMPTY_BOX note below for why inverted bounds would be wrong).
   3. The hierarchy is the implicit perfect binary tree over the L leaves
      (Morton-order median splits == LBVH radix splits). Bounds are refit
      bottom-up one level at a time with reshape+min/max.

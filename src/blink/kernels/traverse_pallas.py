@@ -74,9 +74,9 @@ def pack_bvh_planes(bvh: FlatBVH) -> BVHPacked:
     """One-time re-layout of BVH arrays into the lane-slot packed form.
 
     (Name kept from the earlier planar layout for API stability.)
-    Padding slots parse as: node with inverted bounds (lo=+inf, hi=-inf,
-    always missed) and skip == n_nodes (terminates); triangle with
-    v0=e1=e2=0 (det==0 -> miss) and id -1.
+    Padding slots parse as: node with the far-away EMPTY_BOX point box
+    (always missed — see bvh.build.EMPTY_BOX) and skip == n_nodes
+    (terminates); triangle with v0=e1=e2=0 (det==0 -> miss) and id -1.
     """
     n = bvh.n_nodes
     nrows = -(-n // NODES_PER_ROW)
