@@ -77,9 +77,30 @@ def pack_bvh_planes(bvh: FlatBVH) -> BVHPacked:
     Padding slots parse as: node with the far-away EMPTY_BOX point box
     (always missed — see bvh.build.EMPTY_BOX) and skip == n_nodes
     (terminates); triangle with v0=e1=e2=0 (det==0 -> miss) and id -1.
+
+    Record lanes 9-11 support the ORDERED (near-child-first, SMEM-stack)
+    walk: rchild (preorder index of the right child = skip[node+1]),
+    split axis (argmax child-center separation), and lower_first (1.0 if
+    the LEFT child is on the lower side of that axis).
     """
+    import numpy as np
+
     n = bvh.n_nodes
     nrows = -(-n // NODES_PER_ROW)
+    # Child/order metadata (host-side numpy, one-time).
+    lo = np.asarray(bvh.lo)
+    hi = np.asarray(bvh.hi)
+    skip = np.asarray(bvh.skip)
+    count = np.asarray(bvh.count)
+    center = 0.5 * (lo + hi)
+    node = np.arange(n)
+    internal = (count == 0) & (skip > node + 1)
+    left = np.minimum(node + 1, n - 1)
+    rchild = np.where(internal, skip[left], 0)
+    rsafe = np.clip(rchild, 0, n - 1)
+    diff = center[rsafe] - center[left]
+    axis = np.argmax(np.abs(diff), axis=1)
+    lower_first = np.where(diff[node, axis] >= 0, 1.0, 0.0)
     rec = jnp.concatenate(
         [
             bvh.lo,
@@ -87,7 +108,10 @@ def pack_bvh_planes(bvh: FlatBVH) -> BVHPacked:
             jnp.asarray(bvh.skip, jnp.float32)[:, None],
             jnp.asarray(bvh.first, jnp.float32)[:, None],
             jnp.asarray(bvh.count, jnp.float32)[:, None],
-            jnp.zeros((n, NODE_LANES - 9), jnp.float32),
+            jnp.asarray(rchild, jnp.float32)[:, None],
+            jnp.asarray(axis, jnp.float32)[:, None],
+            jnp.asarray(lower_first, jnp.float32)[:, None],
+            jnp.zeros((n, NODE_LANES - 12), jnp.float32),
         ],
         axis=1,
     )  # (n, 16)
@@ -282,6 +306,120 @@ def _make_kernel(n_nodes: int, leaf_size: int, any_hit: bool, t_min: float):
     return kernel
 
 
+#: SMEM traversal-stack capacity for the ordered walk. Perfect-tree depth
+#: for 1M tris at leaf 16 is ~16; 64 covers any spec-scale scene.
+STACK_CAP = 64
+
+
+def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
+                         t_min: float):
+    """Near-child-first packet walk with an SMEM scalar stack.
+
+    Visiting the child nearer along the packet's dominant direction first
+    tightens best_t earlier, so later subtrees (and their leaf tests — the
+    dominant cost) are culled more often than in the fixed preorder walk.
+    The stack lives in SMEM scratch (dynamic scalar indexing is supported
+    there); depth <= tree depth + 1.
+    """
+
+    def kernel(o_ref, d_ref, tfar_ref, nrow_ref, trow_ref,
+               t_out_ref, prim_out_ref, stack_ref):
+        def read_node(n):
+            row = nrow_ref[pl.ds(n // NODES_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(n % NODES_PER_ROW) * NODE_LANES, axis=1)
+
+        def read_tri(s):
+            row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
+
+        ox = o_ref[0]
+        oy = o_ref[1]
+        oz = o_ref[2]
+        dx = d_ref[0]
+        dy = d_ref[1]
+        dz = d_ref[2]
+        ix = 1.0 / dx
+        iy = 1.0 / dy
+        iz = 1.0 / dz
+        # Packet-dominant direction sign per axis (scalar bools).
+        sx = jnp.sum(dx) >= 0.0
+        sy = jnp.sum(dy) >= 0.0
+        sz = jnp.sum(dz) >= 0.0
+        best0 = jnp.minimum(tfar_ref[...], T_MAX)
+        prim0 = jnp.full((RAY_ROWS * N_WALKS, LANES), -1, jnp.int32)
+        stack_ref[0] = jnp.int32(0)  # push root
+
+        def cond(c):
+            sp, best_t, prim = c
+            running = sp > 0
+            if any_hit:
+                running = running & jnp.any(prim < 0)
+            return running
+
+        def body(c):
+            sp, best_t, prim = c
+            sp1 = sp - 1
+            node = stack_ref[sp1]
+            nr = read_node(node)
+            need = _slab(
+                ox, oy, oz, ix, iy, iz, t_min, best_t,
+                nr[0, 0], nr[0, 1], nr[0, 2], nr[0, 3], nr[0, 4], nr[0, 5],
+            )
+            if any_hit:
+                need = need & (prim < 0)
+            hit_any = jnp.any(need)
+            cnt = jnp.int32(nr[0, 8])
+            fst = jnp.int32(nr[0, 7])
+
+            def leaf_body(carry):
+                best_t, prim = carry
+                for j in range(leaf_size):
+                    tr = read_tri(fst + j)
+                    t = _mt_tri(
+                        ox, oy, oz, dx, dy, dz,
+                        tr[0, 0], tr[0, 1], tr[0, 2],
+                        tr[0, 3], tr[0, 4], tr[0, 5],
+                        tr[0, 6], tr[0, 7], tr[0, 8],
+                        t_min, best_t,
+                    )
+                    better = need & (j < cnt) & (t < best_t)
+                    best_t = jnp.where(better, t, best_t)
+                    prim = jnp.where(better, jnp.int32(tr[0, 9]), prim)
+                return best_t, prim
+
+            best_t, prim = jax.lax.cond(
+                hit_any & (cnt > 0), leaf_body, lambda c: c, (best_t, prim)
+            )
+
+            # Internal hit: replace the popped slot with the FAR child and
+            # push the NEAR child on top (popped next).
+            left = node + 1
+            right = jnp.int32(nr[0, 9])
+            axis = jnp.int32(nr[0, 10])
+            lower_first = nr[0, 11] > 0.5
+            dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            near_is_left = jnp.logical_xor(~dpos, lower_first)
+            near = jnp.where(near_is_left, left, right)
+            far = jnp.where(near_is_left, right, left)
+            push = hit_any & (cnt == 0) & (right > 0)
+
+            @pl.when(push)
+            def _():
+                stack_ref[sp1] = far
+                stack_ref[sp1 + 1] = near
+
+            sp = jnp.where(push, sp1 + 2, sp1)
+            return sp, best_t, prim
+
+        _, best_t, prim = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), best0, prim0)
+        )
+        t_out_ref[...] = best_t
+        prim_out_ref[...] = prim
+
+    return kernel
+
+
 def _pack_rays(o: Array, d: Array, t_far: Array):
     """Pad to a (N_WALKS x packet) multiple; (n,3) -> (3, G*RAY_ROWS, 128)."""
     n = o.shape[0]
@@ -303,7 +441,9 @@ def _pack_rays(o: Array, d: Array, t_far: Array):
     return o_t, d_t, tf_t, g
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "t_min", "interpret", "ordered")
+)
 def _traverse_pallas(
     o: Array,
     d: Array,
@@ -312,6 +452,7 @@ def _traverse_pallas(
     any_hit: bool = False,
     t_min: float = T_MIN,
     interpret: bool = False,
+    ordered: bool = False,
 ):
     # Topology oracle: pallas_call has no AD rule, and none is wanted —
     # traversal outputs integers at fixed topology (SURVEY.md §3.2).
@@ -322,7 +463,14 @@ def _traverse_pallas(
     n = o.shape[0]
     o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
 
-    kernel = _make_kernel(packed.n_nodes, packed.leaf_size, any_hit, t_min)
+    if ordered:
+        kernel = _make_kernel_ordered(
+            packed.n_nodes, packed.leaf_size, any_hit, t_min
+        )
+        scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
+    else:
+        kernel = _make_kernel(packed.n_nodes, packed.leaf_size, any_hit, t_min)
+        scratch = []
     rows = RAY_ROWS * N_WALKS
     ray3 = pl.BlockSpec(
         (3, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -347,6 +495,7 @@ def _traverse_pallas(
             jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(o_t, d_t, tf_t, packed.nrow, packed.trow)
     return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
@@ -364,7 +513,8 @@ def traverse_closest_pallas(
     if t_far is None:
         t_far = jnp.full((o.shape[0],), T_MAX, jnp.float32)
     t, prim = _traverse_pallas(
-        o, d, t_far, packed, any_hit=False, t_min=t_min, interpret=interpret
+        o, d, t_far, packed, any_hit=False, t_min=t_min, interpret=interpret,
+        ordered=not interpret,  # interpreter lacks SMEM scratch mutation
     )
     return jax.lax.stop_gradient(t), prim
 
@@ -426,7 +576,7 @@ def traverse_closest_chunked(
     for packed in chunks:
         t, prim = _traverse_pallas(
             o, d, best_t, packed, any_hit=False, t_min=t_min,
-            interpret=interpret,
+            interpret=interpret, ordered=not interpret,
         )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
