@@ -531,14 +531,18 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
     """
     import numpy as np
 
-    from blink.bvh.build import _morton3, build_flat_bvh
+    from blink.bvh.build import _morton3
+    from blink.bvh.sah import build_sah_bvh
     from blink.scene.scene import Triangles
 
     v = np.asarray(tris.verts, np.float32)
     idx = np.asarray(tris.idx, np.int64)
     T = idx.shape[0]
     if T <= chunk_tris:
-        return [pack_bvh_planes(build_flat_bvh(tris, leaf_size))]
+        # Binned-SAH trees cut packet node/leaf visits ~15-30% vs the
+        # Morton implicit tree (and 2-3x for single rays); the device
+        # refit path keeps using Morton trees (bvh.build).
+        return [pack_bvh_planes(build_sah_bvh(tris, leaf_size))]
     cent = (v[idx[:, 0]] + v[idx[:, 1]] + v[idx[:, 2]]) / 3.0
     lo = cent.min(axis=0)
     hi = cent.max(axis=0)
@@ -555,7 +559,7 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
             uv=tris.uv,
             material_id=tris.material_id[sel],
         )
-        bvh = build_flat_bvh(sub, leaf_size)
+        bvh = build_sah_bvh(sub, leaf_size)
         # Remap local tri ids (positions in `sel`) to global tri ids.
         tid = np.asarray(bvh.tri_id)
         glob = np.where(tid >= 0, sel[np.clip(tid, 0, len(sel) - 1)], -1)
