@@ -79,3 +79,36 @@ def test_dist_path_tracing_matches_single():
     img1 = np.asarray(render(scene, cfg, be))
     img8 = np.asarray(dist_render(scene, cfg, be, make_mesh(8)))
     np.testing.assert_array_equal(img8, img1)
+
+
+def test_scene_sharding_matches_replicated():
+    """SURVEY §2 'Parallelism: scene sharding': triangles sharded over the
+    mesh (rays replicated), combined hits == single-device brute force."""
+    from blink.dist.scene_shard import (
+        intersect_scene_sharded,
+        occluded_scene_sharded,
+        shard_scene_triangles,
+    )
+    from blink.kernels.bruteforce import intersect_brute, occluded_brute
+    from tests.test_bvh import _random_rays, _random_tris
+    from blink.scene.scene import make_scene
+
+    tris = _random_tris(500, 21)
+    base = make_scene(triangles=tris)
+    mesh = make_mesh(8)
+    sharded_scene = shard_scene_triangles(base, 8)
+    o, d = _random_rays(256, 22)
+
+    # Reference on the SAME reordered scene (prim ids must correspond).
+    hb = intersect_brute(o, d, sharded_scene)
+    hs = intersect_scene_sharded(o, d, sharded_scene, mesh)
+    np.testing.assert_allclose(
+        np.asarray(hs.t), np.asarray(hb.t), rtol=1e-6, atol=1e-6
+    )
+    hit = np.asarray(hb.t) < 1e29
+    assert (np.asarray(hs.prim)[hit] == np.asarray(hb.prim)[hit]).mean() > 0.99
+
+    t_far = jnp.full((256,), 5.0, jnp.float32)
+    bb = occluded_brute(o, d, sharded_scene, t_far)
+    bs = occluded_scene_sharded(o, d, sharded_scene, t_far, mesh)
+    np.testing.assert_array_equal(np.asarray(bs), np.asarray(bb))
