@@ -514,7 +514,7 @@ def traverse_closest_pallas(
         t_far = jnp.full((o.shape[0],), T_MAX, jnp.float32)
     t, prim = _traverse_pallas(
         o, d, t_far, packed, any_hit=False, t_min=t_min, interpret=interpret,
-        ordered=not interpret,  # interpreter lacks SMEM scratch mutation
+        ordered=True,
     )
     return jax.lax.stop_gradient(t), prim
 
@@ -580,7 +580,7 @@ def traverse_closest_chunked(
     for packed in chunks:
         t, prim = _traverse_pallas(
             o, d, best_t, packed, any_hit=False, t_min=t_min,
-            interpret=interpret, ordered=not interpret,
+            interpret=interpret, ordered=True,
         )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
