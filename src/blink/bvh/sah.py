@@ -34,6 +34,12 @@ from blink.scene.scene import Triangles
 NBINS = 16
 _TRAV_COST = 1.0
 _ISECT_COST = 1.0
+#: Depth at which splitting switches from SAH to balanced positional
+#: halves. SAH/fallback splits can peel tiny segments repeatedly on skewed
+#: geometry, so depth alone does not bound; forced halving past this depth
+#: adds at most ceil(log2(count/leaf_size)) more levels, keeping the total
+#: depth < traverse_pallas.STACK_CAP (asserted there at pack time).
+_FORCE_BALANCE_DEPTH = 40
 
 
 def _sa(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -64,6 +70,7 @@ def build_sah_bvh(tris: Triangles, leaf_size: int = 16) -> FlatBVH:
     seg_parent = [-1]
     seg_is_right = [False]
     seg_leaf = [False]
+    seg_depth = [0]
     active = [0]
 
     while active:
@@ -130,8 +137,10 @@ def build_sah_bvh(tris: Triangles, leaf_size: int = 16) -> FlatBVH:
         # 4. partition non-leaf segments.
         splittable = ~make_leaf
         go_right = (b > best_s[locs]) & sah_ok[locs]
-        # Positional-half fallback for unsplittable-by-SAH segments.
-        need_fb = splittable & ~sah_ok
+        # Positional-half fallback for unsplittable-by-SAH segments, and a
+        # forced balanced split past _FORCE_BALANCE_DEPTH to bound depth.
+        too_deep = np.array([seg_depth[s] for s in act]) >= _FORCE_BALANCE_DEPTH
+        need_fb = splittable & (~sah_ok | too_deep)
         if need_fb.any():
             pos_in_seg = np.zeros(c.shape[0], np.int64)
             seg_starts_local = np.zeros(n_act, np.int64)
@@ -168,6 +177,7 @@ def build_sah_bvh(tris: Triangles, leaf_size: int = 16) -> FlatBVH:
             seg_parent += [s, s]
             seg_is_right += [False, True]
             seg_leaf += [False, False]
+            seg_depth += [seg_depth[s] + 1, seg_depth[s] + 1]
             new_active += [lchild, rchild]
         # Reassign seg_of for split segments: positions [st, mid) -> left
         # child, [mid, en) -> right child (contiguous layout).
@@ -209,9 +219,12 @@ def build_sah_bvh(tris: Triangles, leaf_size: int = 16) -> FlatBVH:
     first = np.zeros(n_nodes, np.int64)
     count = np.zeros(n_nodes, np.int64)
 
-    # Leaf prim slots: leaves in preorder order get consecutive K-aligned
-    # blocks (the kernels' read path assumes fixed leaf_size stride only
-    # via first/count, so tight packing is fine).
+    # Leaf prim slots: leaves in preorder order get consecutive tight
+    # blocks of `cnt` slots each. NOTE: the kernels unroll exactly
+    # leaf_size reads at first..first+leaf_size-1 (masked by j<cnt), so
+    # the slot arrays are padded with leaf_size-1 trailing degenerate
+    # slots below — without them the last leaf's masked tail reads would
+    # be out of bounds on-chip (interpret mode clamps, Mosaic does not).
     # Compute subtree extent to fill skip: postorder via reversed preorder.
     # skip[p] = p + subtree_size(p).
     sub_sz = np.ones(n_nodes, np.int64)
@@ -250,8 +263,8 @@ def build_sah_bvh(tris: Triangles, leaf_size: int = 16) -> FlatBVH:
         first[p] = slots
         count[p] = cnt
         slot_of_leaf[s] = slots
-        slots += -(-cnt // 1)  # tight packing: cnt slots
-    P = max(slots, 1)
+        slots += cnt  # tight packing: cnt slots (+ global tail pad below)
+    P = max(slots + K - 1, 1)  # tail pad: masked reads past the last leaf
     tv0 = np.zeros((P, 3), np.float32)
     te1 = np.zeros((P, 3), np.float32)
     te2 = np.zeros((P, 3), np.float32)

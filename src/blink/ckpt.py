@@ -1,6 +1,11 @@
 """Checkpoint/resume of optimization state via safetensors
 (SURVEY.md §5 "Checkpoint/resume"): scene params + optax state every K steps
 of `fit`; resume is exact because the sampler is counter-based on step index.
+
+Leaves are keyed by their pytree KEYPATH (not positional index), so loading
+into a template with a different `optimize` tuple, param order, or optax
+version fails loudly on the mismatched key/shape instead of silently filling
+the wrong leaves.
 """
 from __future__ import annotations
 
@@ -12,16 +17,31 @@ from safetensors.numpy import load_file, save_file
 
 
 def _flatten(tree: Any, prefix: str) -> dict[str, np.ndarray]:
-    leaves, _ = jax.tree_util.tree_flatten(tree)
-    return {f"{prefix}.{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        f"{prefix}{jax.tree_util.keystr(path)}": np.asarray(leaf)
+        for path, leaf in leaves
+    }
 
 
 def _unflatten(tree_like: Any, flat: dict[str, np.ndarray], prefix: str) -> Any:
-    leaves, treedef = jax.tree_util.tree_flatten(tree_like)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree_like)
     new_leaves = []
-    for i, leaf in enumerate(leaves):
-        arr = flat[f"{prefix}.{i}"]
-        new_leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+    for path, leaf in leaves:
+        key = f"{prefix}{jax.tree_util.keystr(path)}"
+        if key not in flat:
+            raise KeyError(
+                f"checkpoint is missing leaf '{key}' — saved with a "
+                f"different param set / optimizer? (have: {sorted(flat)[:8]}…)"
+            )
+        arr = flat[key]
+        tmpl = np.asarray(leaf)
+        if arr.shape != tmpl.shape:
+            raise ValueError(
+                f"checkpoint leaf '{key}' has shape {arr.shape}, template "
+                f"expects {tmpl.shape}"
+            )
+        new_leaves.append(np.asarray(arr, dtype=tmpl.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -34,7 +54,8 @@ def save_ckpt(path: str, step: int, params: Any, opt_state: Any) -> None:
 
 def load_ckpt(path: str, params_like: Any, opt_state_like: Any):
     """Returns (step, params, opt_state) with the pytree structure of the
-    provided templates (shapes/dtypes restored from the file)."""
+    provided templates (values restored from the file; keypaths and shapes
+    are validated against the templates)."""
     flat = load_file(path)
     step = int(flat["meta.step"][0])
     params = _unflatten(params_like, flat, "params")

@@ -41,6 +41,14 @@ def shard_scene_triangles(scene: Scene, n_shards: int) -> Scene:
     v = np.asarray(tris.verts, np.float32)
     idx = np.asarray(tris.idx, np.int64)
     t = idx.shape[0]
+    # The sharded combine packs winners as (kind << 28) | prim in int32
+    # (intersect_scene_sharded); prim >= 2^28 would corrupt the kind bits
+    # silently. Fail loudly instead (spec scenes are ~1M tris).
+    if t >= (1 << 28):
+        raise ValueError(
+            f"scene sharding supports < 2^28 triangles (got {t}); widen the "
+            "packed winner code to int64 to go beyond"
+        )
     cent = (v[idx[:, 0]] + v[idx[:, 1]] + v[idx[:, 2]]) / 3.0
     lo, hi = cent.min(0), cent.max(0)
     order = np.argsort(

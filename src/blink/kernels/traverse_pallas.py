@@ -86,6 +86,23 @@ def pack_bvh_planes(bvh: FlatBVH) -> BVHPacked:
     import numpy as np
 
     n = bvh.n_nodes
+    # The ordered kernel's SMEM stack holds at most one pending far child
+    # per ancestor level (+ the node being expanded): verify the tree's
+    # depth fits STACK_CAP. build_sah_bvh bounds depth by construction
+    # (_FORCE_BALANCE_DEPTH); this guards every other producer too.
+    skip_np = np.asarray(bvh.skip)
+    stack: list[int] = []
+    max_depth = 0
+    for i in range(n):
+        while stack and stack[-1] <= i:
+            stack.pop()
+        max_depth = max(max_depth, len(stack))
+        stack.append(int(skip_np[i]))
+    if max_depth + 2 > STACK_CAP:
+        raise ValueError(
+            f"BVH depth {max_depth} needs stack {max_depth + 2} > "
+            f"STACK_CAP={STACK_CAP}; rebuild with a depth-bounded builder"
+        )
     nrows = -(-n // NODES_PER_ROW)
     # Child/order metadata (host-side numpy, one-time).
     lo = np.asarray(bvh.lo)
