@@ -70,9 +70,10 @@ PRESETS: dict[str, RenderConfig] = {
         scene="cornell", width=256, height=256, spp=1, integrator="direct"
     ),
     # 2: bunny-class ~70k tris, flat BVH, 512x512, 4 spp, direct + shadows.
+    # backend=auto: Pallas kernels on TPU, pure-JAX BVH walk on CPU.
     "bunny": RenderConfig(
         scene="bunny", width=512, height=512, spp=4, integrator="direct",
-        backend="bvh",
+        backend="auto",
     ),
     # 3: inverse rendering on the Cornell scene, 256x256.
     "fit": RenderConfig(
@@ -81,12 +82,12 @@ PRESETS: dict[str, RenderConfig] = {
     # 4: Sponza-class 1M tris, 2-level BVH, path depth 4, 16 spp, textured.
     "sponza": RenderConfig(
         scene="sponza", width=512, height=512, spp=16, integrator="path",
-        max_depth=4, backend="bvh",
+        max_depth=4, backend="auto",
     ),
     # 5: multi-host pod render, 4096x4096, 64 spp, sharded rays/tiles.
     "pod": RenderConfig(
         scene="sponza", width=4096, height=4096, spp=64, integrator="path",
-        max_depth=4, backend="bvh",
+        max_depth=4, backend="auto",
     ),
 }
 

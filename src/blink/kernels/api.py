@@ -53,7 +53,16 @@ class Backend:
 
 def make_backend(name: str, scene: Scene) -> Backend:
     if name == "auto":
-        name = "bvh" if scene.n_triangles > 64 else "brute"
+        if scene.n_triangles <= 64:
+            name = "brute"
+        else:
+            # On TPU the Pallas packet kernels are the supported (and fast)
+            # traversal; the pure-JAX vmapped walk miscompiles on the axon
+            # backend (docs/PARITY.md). Off-TPU the JAX walk is the
+            # reference path.
+            import jax
+
+            name = "pallas" if jax.default_backend() == "tpu" else "bvh"
     if name == "brute":
         return Backend(name="brute", bvh=None)
     if name in ("bvh", "pallas"):

@@ -65,7 +65,8 @@ def test_chunked_parity_tpu():
 
 
 def test_render_pipeline_tpu_matches_reference_topology():
-    """Full direct-lighting render on-chip with the pallas backend vs the
+    """Full direct-lighting render on-chip with the PALLAS backend (quad
+    triangles through the chunked packet kernels + analytic spheres) vs the
     committed numpy-oracle golden (end-to-end device correctness)."""
     from blink.api import build_scene
     from blink.config import get_config
@@ -78,9 +79,33 @@ def test_render_pipeline_tpu_matches_reference_topology():
         )
     )
     cfg = get_config("cornell").override(
-        width=64, height=64, deterministic=True, backend="brute"
+        width=64, height=64, deterministic=True, backend="pallas"
     )
     scene = build_scene(cfg)
-    img = np.asarray(_render_jit(scene, cfg, make_backend("brute", scene)))
+    img = np.asarray(_render_jit(scene, cfg, make_backend("pallas", scene)))
+    close = np.isclose(img, golden, atol=1e-4)
+    assert close.mean() > 0.999
+
+
+def test_render_mesh_pallas_backend_tpu_matches_golden():
+    """Bunny-class mesh (20k tris), pallas backend end-to-end on-chip
+    (tile-permuted render_image -> chunked ordered traversal -> refine ->
+    NEE shadow rays) vs the committed CPU bvh-backend golden."""
+    from blink.api import build_scene
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+    from blink.render.api import _render_jit
+
+    golden = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "..", "golden", "bunny128_sub5_det.npy"
+        )
+    )
+    cfg = get_config("bunny").override(
+        width=128, height=128, deterministic=True, backend="pallas",
+        bunny_subdiv=5,
+    )
+    scene = build_scene(cfg)
+    img = np.asarray(_render_jit(scene, cfg, make_backend("pallas", scene)))
     close = np.isclose(img, golden, atol=1e-4)
     assert close.mean() > 0.999
