@@ -1,0 +1,203 @@
+"""8-wide BVH collapse (host-side numpy) for the Pallas wide-packet kernel.
+
+The binary skip-link walk pays one serial scalar-loop iteration per node:
+row load -> roll -> extracts -> slab -> cross-lane any() -> cursor select,
+a ~26ns dependency chain (docs/PERF_NOTES.md). Collapsing the binary SAH
+tree into 8-ary nodes amortizes that chain over 8 child slab tests per
+iteration — the classic wide-BVH (QBVH/MBVH) reformulation, re-derived
+here for the TPU's scalar-core + VPU split: child records live in SMEM
+(scalar loads, ~1 cycle, no roll dance) and the 8 slab tests are
+independent vector ops that pipeline.
+
+Collapse rule: greedy surface-area — start from a binary subtree root,
+repeatedly expand the largest-surface-area internal candidate until 8
+children are collected; internal children become new wide nodes. This
+preserves the SAH tree's quality (it is a re-bracketing, not a rebuild).
+
+Per-node octant tables give near-first child PUSH order for each of the 8
+ray-direction octants (packet-dominant signs), packed 3 bits per slot.
+Ordering is a performance hint only — traversal remains exact under any
+order because every pop re-tests its box against the current best t.
+
+Spec: SURVEY.md §2 "BVH builder (flat)" / §7.2.1 traversal plan;
+BASELINE.json:5 "stackless BVH traversal ... re-derived for SIMD lanes".
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from blink.bvh.build import EMPTY_BOX
+from blink.bvh.types import FlatBVH
+from blink.core.struct import pytree_dataclass, static_field
+
+Array = jnp.ndarray
+
+WIDTH = 8
+#: SMEM stack capacity for the wide walk: <= 1 + 7*depth pushes; the SAH
+#: builder bounds binary depth (_FORCE_BALANCE_DEPTH + log-halving), and
+#: collapse divides depth by ~3. Asserted exactly at build time.
+WIDE_STACK_CAP = 192
+
+
+@pytree_dataclass
+class WideBVH:
+    """Device layout consumed by the Pallas wide kernel.
+
+    child: (n_wide*8, 8) f32 rows [lx ly lz hx hy hz ref cnt] — cnt>0 means
+      leaf child (tri slots [ref, ref+cnt)), cnt==0 & ref>0 means internal
+      child (wide node index), cnt==0 & ref==0 is an empty slot whose
+      EMPTY_BOX bounds can never pass a slab test.
+    perm: (n_wide, 8) i32 — per ray-direction octant, the 8 child slots in
+      near-first order, 3 bits per position (LSB = nearest).
+    trow: (ceil(P/12), 128) f32 lane-slot triangle records (same layout as
+      traverse_pallas.BVHPacked.trow).
+    """
+
+    child: Array
+    perm: Array
+    trow: Array
+    n_wide: int = static_field(default=0)
+    leaf_size: int = static_field(default=4)
+    max_stack: int = static_field(default=WIDE_STACK_CAP)
+
+
+def _sa(lo: np.ndarray, hi: np.ndarray) -> float:
+    d = np.maximum(hi - lo, 0.0)
+    return float(d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+
+
+def build_wide(bvh: FlatBVH) -> WideBVH:
+    """Collapse a binary preorder skip-link FlatBVH into a WideBVH."""
+    lo = np.asarray(bvh.lo, np.float32)
+    hi = np.asarray(bvh.hi, np.float32)
+    skip = np.asarray(bvh.skip, np.int64)
+    first = np.asarray(bvh.first, np.int64)
+    count = np.asarray(bvh.count, np.int64)
+    n = skip.shape[0]
+    node_ids = np.arange(n)
+    is_internal = (count == 0) & (skip > node_ids + 1)
+
+    # --- greedy SA collapse ---------------------------------------------
+    kids_of: list[list[int]] = []  # wide id -> binary child ids
+    wide_ref: list[list[int]] = []  # parallel: ref per kid (wide id if int.)
+    queue: list[tuple[int, int]] = [(0, 0)]  # (binary root, wide id)
+    next_wide = 1
+    qi = 0
+    while qi < len(queue):
+        b, wid = queue[qi]
+        qi += 1
+        kids = [b]
+        while len(kids) < WIDTH:
+            # expand the internal kid with the largest surface area
+            best, best_sa = -1, -1.0
+            for i, k in enumerate(kids):
+                if is_internal[k]:
+                    s = _sa(lo[k], hi[k])
+                    if s > best_sa:
+                        best, best_sa = i, s
+            if best < 0:
+                break
+            k = kids.pop(best)
+            l, r = k + 1, int(skip[k + 1])
+            kids.extend((l, r))
+        refs = []
+        for k in kids:
+            if is_internal[k]:
+                refs.append(next_wide)
+                queue.append((k, next_wide))
+                next_wide += 1
+            else:
+                refs.append(-1)  # leaf: ref filled from `first` below
+        while len(kids_of) <= wid:
+            kids_of.append([])
+            wide_ref.append([])
+        kids_of[wid] = kids
+        wide_ref[wid] = refs
+    n_wide = next_wide
+
+    # --- emit child records ----------------------------------------------
+    child = np.zeros((n_wide, WIDTH, 8), np.float32)
+    child[:, :, 0:3] = EMPTY_BOX
+    child[:, :, 3:6] = EMPTY_BOX
+    centers = np.zeros((n_wide, WIDTH, 3), np.float32)
+    filled = np.zeros((n_wide, WIDTH), bool)
+    for wid in range(n_wide):
+        for s, (k, r) in enumerate(zip(kids_of[wid], wide_ref[wid])):
+            child[wid, s, 0:3] = lo[k]
+            child[wid, s, 3:6] = hi[k]
+            if r >= 0:
+                child[wid, s, 6] = float(r)
+                child[wid, s, 7] = 0.0
+            else:
+                child[wid, s, 6] = float(first[k])
+                child[wid, s, 7] = float(count[k])
+            centers[wid, s] = 0.5 * (lo[k] + hi[k])
+            filled[wid, s] = True
+
+    # --- per-octant near-first push orders (vectorized) -------------------
+    oct_bits = np.arange(8)
+    signs = np.stack(
+        [
+            np.where(oct_bits & 1, 1.0, -1.0),
+            np.where(oct_bits & 2, 1.0, -1.0),
+            np.where(oct_bits & 4, 1.0, -1.0),
+        ],
+        axis=1,
+    ).astype(np.float32)  # (8 octants, 3)
+    keys = np.einsum("wsc,oc->wos", centers, signs)  # (n_wide, 8oct, 8slot)
+    keys = np.where(filled[:, None, :], keys, np.inf)  # empties last
+    order = np.argsort(keys, axis=2, kind="stable")  # near-first slots
+    shifts = (3 * np.arange(WIDTH))[None, None, :]
+    perm = (order << shifts).sum(axis=2).astype(np.int32)  # (n_wide, 8)
+
+    # --- exact worst-case stack depth --------------------------------------
+    # stack(w) = max over children c at position i (by any order) ... a safe
+    # exact-enough bound: along any root->node path each visit nets <= 7
+    # additional entries; use wide-tree depth.
+    depth = np.zeros(n_wide, np.int64)
+    for wid in range(n_wide):  # parents precede children (BFS ids)
+        for r in wide_ref[wid]:
+            if r >= 0:
+                depth[r] = depth[wid] + 1
+    max_stack = int(1 + 7 * (depth.max() + 1)) if n_wide else 1
+    if max_stack > WIDE_STACK_CAP:
+        raise ValueError(
+            f"wide BVH depth {int(depth.max())} needs stack {max_stack} > "
+            f"{WIDE_STACK_CAP}"
+        )
+
+    # --- triangle lane-slot rows (shared layout with BVHPacked.trow) ------
+    from blink.kernels.traverse_pallas import LANES, TRI_LANES, TRIS_PER_ROW
+
+    p = bvh.tri_id.shape[0]
+    prows = -(-p // TRIS_PER_ROW)
+    trec = np.concatenate(
+        [
+            np.asarray(bvh.tv0, np.float32),
+            np.asarray(bvh.te1, np.float32),
+            np.asarray(bvh.te2, np.float32),
+            np.asarray(bvh.tri_id, np.float32)[:, None],
+        ],
+        axis=1,
+    )
+    pad_p = prows * TRIS_PER_ROW - p
+    pad_t = np.concatenate(
+        [np.zeros((1, 9), np.float32), np.full((1, 1), -1.0, np.float32)],
+        axis=1,
+    )
+    trec = np.concatenate([trec, np.tile(pad_t, (pad_p, 1))])
+    trec = trec.reshape(prows, TRIS_PER_ROW * TRI_LANES)
+    trow = np.concatenate(
+        [trec, np.zeros((prows, LANES - TRIS_PER_ROW * TRI_LANES), np.float32)],
+        axis=1,
+    )
+
+    return WideBVH(
+        child=jnp.asarray(child.reshape(n_wide * WIDTH, 8)),
+        perm=jnp.asarray(perm),
+        trow=jnp.asarray(trow),
+        n_wide=n_wide,
+        leaf_size=bvh.leaf_size,
+        max_stack=max_stack,
+    )

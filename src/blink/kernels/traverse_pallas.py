@@ -326,6 +326,113 @@ def _make_kernel(n_nodes: int, leaf_size: int, any_hit: bool, t_min: float):
 #: SMEM traversal-stack capacity for the ordered walk. Perfect-tree depth
 #: for 1M tris at leaf 16 is ~16; 64 covers any spec-scale scene.
 STACK_CAP = 64
+#: row groups for leaf-test culling in the "ordered_rg" variant: a leaf's
+#: triangles are only tested against the 8-row sub-packets that actually
+#: need the leaf (the packet's 'need' mask, reduced per group). Packets are
+#: spatially tiled, so a small leaf's image footprint usually touches one
+#: group — measured to skip 50-75% of delivered Möller–Trumbore work.
+ROW_GROUPS = 4
+
+
+def _make_kernel_ordered_rg(n_nodes: int, leaf_size: int, t_min: float):
+    """Ordered walk with (a) best_t/prim kept in the OUTPUT refs as mutable
+    state (the while_loop carries only the scalar stack pointer — shorter
+    dependency chains than (32,128) vector carries), and (b) row-group
+    culled leaf tests: triangle tests run per 8-row sub-packet under
+    pl.when(any(need[group])), skipping sub-packets whose rays don't reach
+    the leaf. Closest-hit only (the any-hit walk early-exits globally
+    instead; see _make_kernel)."""
+    GR = RAY_ROWS // ROW_GROUPS
+
+    def kernel(o_ref, d_ref, tfar_ref, nrow_ref, trow_ref,
+               t_out_ref, prim_out_ref, stack_ref):
+        def read_node(n):
+            row = nrow_ref[pl.ds(n // NODES_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(n % NODES_PER_ROW) * NODE_LANES, axis=1)
+
+        def read_tri(s):
+            row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
+
+        ox = o_ref[0]
+        oy = o_ref[1]
+        oz = o_ref[2]
+        dx = d_ref[0]
+        dy = d_ref[1]
+        dz = d_ref[2]
+        ix = 1.0 / dx
+        iy = 1.0 / dy
+        iz = 1.0 / dz
+        sx = jnp.sum(dx) >= 0.0
+        sy = jnp.sum(dy) >= 0.0
+        sz = jnp.sum(dz) >= 0.0
+        t_out_ref[...] = jnp.minimum(tfar_ref[...], T_MAX)
+        prim_out_ref[...] = jnp.full((RAY_ROWS, LANES), -1, jnp.int32)
+        stack_ref[0] = jnp.int32(0)  # push root
+
+        def body(sp):
+            sp1 = sp - 1
+            node = stack_ref[sp1]
+            nr = read_node(node)
+            best_t = t_out_ref[...]
+            need = _slab(
+                ox, oy, oz, ix, iy, iz, t_min, best_t,
+                nr[0, 0], nr[0, 1], nr[0, 2], nr[0, 3], nr[0, 4], nr[0, 5],
+            )
+            hit_any = jnp.any(need)
+            cnt = jnp.int32(nr[0, 8])
+            fst = jnp.int32(nr[0, 7])
+
+            @pl.when(hit_any & (cnt > 0))
+            def _():
+                # One shared record fetch per triangle; each active row
+                # group then reuses the (1,128) records via static extracts.
+                trs = [read_tri(fst + j) for j in range(leaf_size)]
+                for g in range(ROW_GROUPS):
+                    rs = slice(g * GR, (g + 1) * GR)
+                    gneed = need[rs]
+
+                    @pl.when(jnp.any(gneed))
+                    def _(rs=rs, gneed=gneed):
+                        bt = t_out_ref[rs]
+                        pr = prim_out_ref[rs]
+                        gox, goy, goz = ox[rs], oy[rs], oz[rs]
+                        gdx, gdy, gdz = dx[rs], dy[rs], dz[rs]
+                        for j in range(leaf_size):
+                            tr = trs[j]
+                            t = _mt_tri(
+                                gox, goy, goz, gdx, gdy, gdz,
+                                tr[0, 0], tr[0, 1], tr[0, 2],
+                                tr[0, 3], tr[0, 4], tr[0, 5],
+                                tr[0, 6], tr[0, 7], tr[0, 8],
+                                t_min, bt,
+                            )
+                            better = gneed & (j < cnt) & (t < bt)
+                            bt = jnp.where(better, t, bt)
+                            pr = jnp.where(better, jnp.int32(tr[0, 9]), pr)
+                        t_out_ref[rs] = bt
+                        prim_out_ref[rs] = pr
+
+            left = node + 1
+            right = jnp.int32(nr[0, 9])
+            axis = jnp.int32(nr[0, 10])
+            lower_first = nr[0, 11] > 0.5
+            dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            near_is_left = jnp.logical_xor(~dpos, lower_first)
+            near = jnp.where(near_is_left, left, right)
+            far = jnp.where(near_is_left, right, left)
+            push = hit_any & (cnt == 0) & (right > 0)
+
+            @pl.when(push)
+            def _():
+                stack_ref[sp1] = far
+                stack_ref[sp1 + 1] = near
+
+            return jnp.where(push, sp1 + 2, sp1)
+
+        jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+
+    return kernel
 
 
 def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
@@ -437,6 +544,177 @@ def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
     return kernel
 
 
+def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
+                      any_hit: bool):
+    """8-wide SMEM-node packet walk (see bvh.wide for the data layout and
+    the design rationale). Per iteration: pop one wide node, slab-test all
+    8 children (independent vector ops — the serial scalar chain is paid
+    once per 8 boxes instead of once per box), test leaf children
+    immediately with row-group culling, push hit internal children
+    far-to-near so the nearest pops first."""
+    GR = RAY_ROWS // ROW_GROUPS
+
+    def kernel(child_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref,
+               t_out_ref, prim_out_ref, stack_ref):
+        def read_tri(s):
+            row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
+            return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
+
+        ox = o_ref[0]
+        oy = o_ref[1]
+        oz = o_ref[2]
+        dx = d_ref[0]
+        dy = d_ref[1]
+        dz = d_ref[2]
+        ix = 1.0 / dx
+        iy = 1.0 / dy
+        iz = 1.0 / dz
+        sx = jnp.sum(dx) >= 0.0
+        sy = jnp.sum(dy) >= 0.0
+        sz = jnp.sum(dz) >= 0.0
+        octant = (
+            jnp.int32(sx) + 2 * jnp.int32(sy) + 4 * jnp.int32(sz)
+        )
+        t_out_ref[...] = jnp.minimum(tfar_ref[...], T_MAX)
+        prim_out_ref[...] = jnp.full((RAY_ROWS, LANES), -1, jnp.int32)
+        stack_ref[0] = jnp.int32(0)  # push root
+
+        def cond(c):
+            sp, alive = c
+            return (sp > 0) & alive if any_hit else sp > 0
+
+        def body(c):
+            sp, alive = c
+            sp = sp - 1
+            node = stack_ref[sp]
+            pm = perm_ref[node, octant]
+            base = node * 8
+            best_t = t_out_ref[...]
+            if any_hit:
+                unblocked = prim_out_ref[...] < 0
+            slots = []
+            for k in range(8):  # near-first octant order
+                c8 = (pm >> (3 * k)) & 7
+                row = base + c8
+                need = _slab(
+                    ox, oy, oz, ix, iy, iz, t_min, best_t,
+                    child_ref[row, 0], child_ref[row, 1], child_ref[row, 2],
+                    child_ref[row, 3], child_ref[row, 4], child_ref[row, 5],
+                )
+                if any_hit:
+                    need = need & unblocked
+                ref = jnp.int32(child_ref[row, 6])
+                cnt = jnp.int32(child_ref[row, 7])
+                slots.append((jnp.any(need), need, ref, cnt))
+
+            # Leaf children: tested at the parent visit (no stack traffic).
+            for k in range(8):
+                hit_k, need, ref, cnt = slots[k]
+
+                @pl.when(hit_k & (cnt > 0))
+                def _(need=need, ref=ref, cnt=cnt):
+                    trs = [read_tri(ref + j) for j in range(leaf_size)]
+                    for g in range(ROW_GROUPS):
+                        rs = slice(g * GR, (g + 1) * GR)
+                        gneed = need[rs]
+
+                        @pl.when(jnp.any(gneed))
+                        def _(rs=rs, gneed=gneed):
+                            bt = t_out_ref[rs]
+                            pr = prim_out_ref[rs]
+                            gox, goy, goz = ox[rs], oy[rs], oz[rs]
+                            gdx, gdy, gdz = dx[rs], dy[rs], dz[rs]
+                            for j in range(leaf_size):
+                                tr = trs[j]
+                                t = _mt_tri(
+                                    gox, goy, goz, gdx, gdy, gdz,
+                                    tr[0, 0], tr[0, 1], tr[0, 2],
+                                    tr[0, 3], tr[0, 4], tr[0, 5],
+                                    tr[0, 6], tr[0, 7], tr[0, 8],
+                                    t_min, bt,
+                                )
+                                better = gneed & (j < cnt) & (t < bt)
+                                bt = jnp.where(better, t, bt)
+                                pr = jnp.where(
+                                    better, jnp.int32(tr[0, 9]), pr
+                                )
+                            t_out_ref[rs] = bt
+                            prim_out_ref[rs] = pr
+
+            # Internal children: push far-to-near (near pops first).
+            for k in reversed(range(8)):
+                hit_k, need, ref, cnt = slots[k]
+                push = hit_k & (cnt == 0) & (ref > 0)
+
+                @pl.when(push)
+                def _(ref=ref, sp=sp):
+                    stack_ref[sp] = ref
+
+                sp = jnp.where(push, sp + 1, sp)
+            if any_hit:
+                # Early exit once every ray is blocked (shadow semantics).
+                alive = jnp.any(prim_out_ref[...] < 0)
+            return sp, alive
+
+        jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(True)))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "t_min", "interpret")
+)
+def _traverse_wide(
+    o: Array,
+    d: Array,
+    t_far: Array,
+    wide,
+    any_hit: bool = False,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+):
+    """pallas_call wrapper for the wide kernel. Node/perm tables ride in
+    SMEM (scalar memory) — the walk reads them with ~1-cycle scalar loads
+    instead of the VMEM row-load + roll + extract dance."""
+    o, d, t_far = jax.lax.stop_gradient((o, d, t_far))
+    wide = jax.lax.stop_gradient(wide)
+    n = o.shape[0]
+    o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
+    kernel = _make_kernel_wide(wide.n_wide, wide.leaf_size, t_min, any_hit)
+    ray3 = pl.BlockSpec(
+        (3, RAY_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    ray1 = pl.BlockSpec(
+        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def whole(arr: Array, space) -> pl.BlockSpec:
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=space
+        )
+
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            whole(wide.child, pltpu.SMEM),
+            whole(wide.perm, pltpu.SMEM),
+            ray3,
+            ray3,
+            ray1,
+            whole(wide.trow, pltpu.VMEM),
+        ],
+        out_specs=(ray1, ray1),
+        out_shape=(
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((wide.max_stack,), jnp.int32)],
+        interpret=interpret,
+    )(wide.child, wide.perm, o_t, d_t, tf_t, wide.trow)
+    return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
+
+
 def _pack_rays(o: Array, d: Array, t_far: Array):
     """Pad to a (N_WALKS x packet) multiple; (n,3) -> (3, G*RAY_ROWS, 128)."""
     n = o.shape[0]
@@ -459,7 +737,8 @@ def _pack_rays(o: Array, d: Array, t_far: Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "t_min", "interpret", "ordered")
+    jax.jit,
+    static_argnames=("any_hit", "t_min", "interpret", "ordered", "variant"),
 )
 def _traverse_pallas(
     o: Array,
@@ -470,6 +749,7 @@ def _traverse_pallas(
     t_min: float = T_MIN,
     interpret: bool = False,
     ordered: bool = False,
+    variant: str | None = None,
 ):
     # Topology oracle: pallas_call has no AD rule, and none is wanted —
     # traversal outputs integers at fixed topology (SURVEY.md §3.2).
@@ -480,7 +760,15 @@ def _traverse_pallas(
     n = o.shape[0]
     o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
 
-    if ordered:
+    if variant is None:
+        variant = "ordered" if ordered else "skip"
+    if variant == "ordered_rg":
+        assert not any_hit, "ordered_rg is closest-hit only"
+        kernel = _make_kernel_ordered_rg(
+            packed.n_nodes, packed.leaf_size, t_min
+        )
+        scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
+    elif variant == "ordered":
         kernel = _make_kernel_ordered(
             packed.n_nodes, packed.leaf_size, any_hit, t_min
         )
@@ -518,9 +806,13 @@ def _traverse_pallas(
     return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
 
 
+#: production closest-hit kernel variant (see _make_kernel_ordered_rg).
+CLOSEST_VARIANT = "ordered_rg"
+
+
 def traverse_closest_pallas(
     o: Array, d: Array, bvh, t_min: float = T_MIN, interpret: bool = False,
-    t_far: Array | None = None,
+    t_far: Array | None = None, variant: str = CLOSEST_VARIANT,
 ):
     """Closest hit: (t, prim) with prim==-1 on miss (or no hit under the
     optional per-ray t_far — used by the chunked multi-pass traversal,
@@ -531,7 +823,7 @@ def traverse_closest_pallas(
         t_far = jnp.full((o.shape[0],), T_MAX, jnp.float32)
     t, prim = _traverse_pallas(
         o, d, t_far, packed, any_hit=False, t_min=t_min, interpret=interpret,
-        ordered=True,
+        variant=variant,
     )
     return jax.lax.stop_gradient(t), prim
 
@@ -540,12 +832,11 @@ def traverse_closest_pallas(
 CHUNK_TRIS = 120_000
 
 
-def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS):
-    """Partition Morton-ordered triangles into VMEM-sized chunks, one
-    BVHPacked per chunk (global tri ids preserved). Chunks are contiguous
-    Morton ranges, hence spatially compact: a packet that misses a chunk's
-    root box pays exactly one node visit for that chunk.
-    """
+def _chunked_sah_trees(tris, leaf_size: int, chunk_tris: int):
+    """Morton-partition triangles into VMEM-sized chunks; one SAH FlatBVH
+    per chunk with GLOBAL triangle ids. Chunks are contiguous Morton
+    ranges, hence spatially compact: a packet that misses a chunk's root
+    box pays exactly one node visit for that chunk."""
     import numpy as np
 
     from blink.bvh.build import _morton3
@@ -559,7 +850,7 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
         # Binned-SAH trees cut packet node/leaf visits ~15-30% vs the
         # Morton implicit tree (and 2-3x for single rays); the device
         # refit path keeps using Morton trees (bvh.build).
-        return [pack_bvh_planes(build_sah_bvh(tris, leaf_size))]
+        return [build_sah_bvh(tris, leaf_size)]
     cent = (v[idx[:, 0]] + v[idx[:, 1]] + v[idx[:, 2]]) / 3.0
     lo = cent.min(axis=0)
     hi = cent.max(axis=0)
@@ -580,13 +871,62 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
         # Remap local tri ids (positions in `sel`) to global tri ids.
         tid = np.asarray(bvh.tri_id)
         glob = np.where(tid >= 0, sel[np.clip(tid, 0, len(sel) - 1)], -1)
-        bvh = bvh.replace(tri_id=jnp.asarray(glob, jnp.int32))
-        out.append(pack_bvh_planes(bvh))
+        out.append(bvh.replace(tri_id=jnp.asarray(glob, jnp.int32)))
     return out
 
 
-def traverse_closest_chunked(
+def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS):
+    """Chunked lane-slot BVHPacked list for the binary packet kernels."""
+    return [
+        pack_bvh_planes(b) for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
+    ]
+
+
+def build_chunked_wide(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS):
+    """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide)."""
+    from blink.bvh.wide import build_wide
+
+    return [
+        build_wide(b) for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
+    ]
+
+
+def traverse_closest_wide(
     o: Array, d: Array, chunks, t_min: float = T_MIN, interpret: bool = False
+):
+    """Closest hit over a list of WideBVH chunks (multi-pass, threaded
+    best t — same exact semantics as traverse_closest_chunked)."""
+    n = o.shape[0]
+    best_t = jnp.full((n,), T_MAX, jnp.float32)
+    best_prim = jnp.full((n,), -1, jnp.int32)
+    for wide in chunks:
+        t, prim = _traverse_wide(
+            o, d, best_t, wide, any_hit=False, t_min=t_min,
+            interpret=interpret,
+        )
+        better = prim >= 0
+        best_t = jnp.where(better, t, best_t)
+        best_prim = jnp.where(better, prim, best_prim)
+    return jax.lax.stop_gradient(best_t), best_prim
+
+
+def traverse_anyhit_wide(
+    o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
+    interpret: bool = False,
+):
+    blocked = jnp.zeros((o.shape[0],), bool)
+    for wide in chunks:
+        tf = jnp.where(blocked, 0.0, t_far)
+        _, prim = _traverse_wide(
+            o, d, tf, wide, any_hit=True, t_min=t_min, interpret=interpret
+        )
+        blocked = blocked | (prim >= 0)
+    return blocked
+
+
+def traverse_closest_chunked(
+    o: Array, d: Array, chunks, t_min: float = T_MIN, interpret: bool = False,
+    variant: str = CLOSEST_VARIANT,
 ):
     """Closest hit over a list of chunk BVHs: sequential passes threading
     the running best t as each pass's t_far (exact: each chunk's walk is
@@ -597,7 +937,7 @@ def traverse_closest_chunked(
     for packed in chunks:
         t, prim = _traverse_pallas(
             o, d, best_t, packed, any_hit=False, t_min=t_min,
-            interpret=interpret, ordered=True,
+            interpret=interpret, variant=variant,
         )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)

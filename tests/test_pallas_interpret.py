@@ -22,11 +22,14 @@ def test_closest_parity_interpret():
         planes = pack_bvh_planes(bvh)
         o, d = _random_rays(300, seed + 20)  # non-multiple of packet size
         t_ref, p_ref = traverse_closest(o, d, bvh)
-        t_pl, p_pl = traverse_closest_pallas(o, d, planes, interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(t_pl), np.asarray(t_ref), rtol=1e-6, atol=1e-6
-        )
-        np.testing.assert_array_equal(np.asarray(p_pl), np.asarray(p_ref))
+        for variant in ("ordered", "ordered_rg"):
+            t_pl, p_pl = traverse_closest_pallas(
+                o, d, planes, interpret=True, variant=variant
+            )
+            np.testing.assert_allclose(
+                np.asarray(t_pl), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(p_pl), np.asarray(p_ref))
 
 
 def test_anyhit_parity_interpret():
