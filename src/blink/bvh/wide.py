@@ -44,12 +44,14 @@ WIDE_STACK_CAP = 192
 class WideBVH:
     """Device layout consumed by the Pallas wide kernel.
 
-    child: (n_wide*8, 8) f32 rows [lx ly lz hx hy hz ref cnt] — cnt>0 means
-      leaf child (tri slots [ref, ref+cnt)), cnt==0 & ref>0 means internal
-      child (wide node index), cnt==0 & ref==0 is an empty slot whose
-      EMPTY_BOX bounds can never pass a slab test.
-    perm: (n_wide, 8) i32 — per ray-direction octant, the 8 child slots in
-      near-first order, 3 bits per position (LSB = nearest).
+    child: (n_wide*64,) f32 — 8 fields [lx ly lz hx hy hz ref cnt] x 8
+      slots per node, FLAT 1D (SMEM pads the minor dim of 2D arrays to 128
+      lanes — a (N, 8) table would allocate 16x its size and blow the 1 MB
+      SMEM budget; 1D is dense). cnt>0 means leaf child (tri slots
+      [ref, ref+cnt)), cnt==0 & ref>0 internal child (wide node index),
+      cnt==0 & ref==0 empty slot whose EMPTY_BOX can never pass a slab.
+    perm: (n_wide*8,) i32 flat — per ray-direction octant, the 8 child
+      slots in near-first order, 3 bits per position (LSB = nearest).
     trow: (ceil(P/12), 128) f32 lane-slot triangle records (same layout as
       traverse_pallas.BVHPacked.trow).
     """
@@ -67,18 +69,46 @@ def _sa(lo: np.ndarray, hi: np.ndarray) -> float:
     return float(d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
 
 
-def build_wide(bvh: FlatBVH) -> WideBVH:
-    """Collapse a binary preorder skip-link FlatBVH into a WideBVH."""
+def build_wide(bvh: FlatBVH, wide_leaf: int = 32) -> WideBVH:
+    """Collapse a binary preorder skip-link FlatBVH into a WideBVH.
+
+    Adaptive subtree leafing: the SAH builder assigns leaf triangle slots
+    in tight consecutive preorder blocks (bvh.sah), so ANY subtree owns the
+    contiguous slot span [csum[i], csum[skip[i]]). The collapse exploits
+    this: a child subtree with <= wide_leaf total triangles becomes a leaf
+    child spanning its whole subtree, regardless of the binary tree's own
+    leaf size. Build the binary tree with a SMALL leaf (max tree quality);
+    pick the traversal leaf granularity here. This also fixes the naive
+    collapse's ~35% child-slot fill (bottom-level binary internals used to
+    become 2-child wide nodes; now they fold into their parent as leaves).
+    """
     lo = np.asarray(bvh.lo, np.float32)
     hi = np.asarray(bvh.hi, np.float32)
     skip = np.asarray(bvh.skip, np.int64)
-    first = np.asarray(bvh.first, np.int64)
     count = np.asarray(bvh.count, np.int64)
     n = skip.shape[0]
     node_ids = np.arange(n)
     is_internal = (count == 0) & (skip > node_ids + 1)
+    assert int(count.max(initial=0)) <= wide_leaf, (
+        "binary leaf_size must be <= wide_leaf"
+    )
 
-    # --- greedy SA collapse ---------------------------------------------
+    # Subtree slot spans: csum[i] = total leaf-slot count before preorder i.
+    csum = np.zeros(n + 1, np.int64)
+    csum[1:] = np.cumsum(count)
+    sub_first = csum[node_ids]  # subtree slot base (tight preorder packing)
+    sub_count = csum[skip] - csum[node_ids]  # total tris in subtree
+    first = np.asarray(bvh.first, np.int64)
+    leaf_ids = node_ids[count > 0]
+    assert np.array_equal(first[leaf_ids], csum[leaf_ids]), (
+        "build_wide requires tight preorder leaf-slot packing (SAH trees); "
+        "padded-block producers (Morton build_flat_bvh) are not supported"
+    )
+
+    def is_leafable(k: int) -> bool:
+        return sub_count[k] <= wide_leaf
+
+    # --- greedy SA collapse with adaptive leafing ------------------------
     kids_of: list[list[int]] = []  # wide id -> binary child ids
     wide_ref: list[list[int]] = []  # parallel: ref per kid (wide id if int.)
     queue: list[tuple[int, int]] = [(0, 0)]  # (binary root, wide id)
@@ -89,26 +119,31 @@ def build_wide(bvh: FlatBVH) -> WideBVH:
         qi += 1
         kids = [b]
         while len(kids) < WIDTH:
-            # expand the internal kid with the largest surface area
-            best, best_sa = -1, -1.0
+            # Two-tier greedy: MUST-split kids (bigger than a wide leaf)
+            # first, largest surface area first; then, with slots left
+            # over, split leafable internals too — all 8 slots get slab
+            # tests anyway (empty slots are EMPTY_BOX), so finer children
+            # in free slots are free culling.
+            best, best_sa, best_must = -1, -1.0, False
             for i, k in enumerate(kids):
-                if is_internal[k]:
-                    s = _sa(lo[k], hi[k])
-                    if s > best_sa:
-                        best, best_sa = i, s
+                if not is_internal[k]:
+                    continue
+                must = not is_leafable(k)
+                s = _sa(lo[k], hi[k])
+                if (must, s) > (best_must, best_sa):
+                    best, best_sa, best_must = i, s, must
             if best < 0:
                 break
             k = kids.pop(best)
-            l, r = k + 1, int(skip[k + 1])
-            kids.extend((l, r))
+            kids.extend((k + 1, int(skip[k + 1])))
         refs = []
         for k in kids:
-            if is_internal[k]:
+            if is_internal[k] and not is_leafable(k):
                 refs.append(next_wide)
                 queue.append((k, next_wide))
                 next_wide += 1
             else:
-                refs.append(-1)  # leaf: ref filled from `first` below
+                refs.append(-1)  # leaf child: whole-subtree slot span
         while len(kids_of) <= wid:
             kids_of.append([])
             wide_ref.append([])
@@ -130,8 +165,8 @@ def build_wide(bvh: FlatBVH) -> WideBVH:
                 child[wid, s, 6] = float(r)
                 child[wid, s, 7] = 0.0
             else:
-                child[wid, s, 6] = float(first[k])
-                child[wid, s, 7] = float(count[k])
+                child[wid, s, 6] = float(sub_first[k])
+                child[wid, s, 7] = float(sub_count[k])
             centers[wid, s] = 0.5 * (lo[k] + hi[k])
             filled[wid, s] = True
 
@@ -168,10 +203,14 @@ def build_wide(bvh: FlatBVH) -> WideBVH:
         )
 
     # --- triangle lane-slot rows (shared layout with BVHPacked.trow) ------
+    # The kernel unrolls wide_leaf reads per leaf visit (masked j < cnt),
+    # so slots must extend wide_leaf-1 past the last real slot. The source
+    # FlatBVH arrays are padded for the BINARY leaf size only; re-pad here.
     from blink.kernels.traverse_pallas import LANES, TRI_LANES, TRIS_PER_ROW
 
+    need = int(csum[-1]) + wide_leaf - 1
     p = bvh.tri_id.shape[0]
-    prows = -(-p // TRIS_PER_ROW)
+    prows = -(-max(p, need) // TRIS_PER_ROW)
     trec = np.concatenate(
         [
             np.asarray(bvh.tv0, np.float32),
@@ -194,10 +233,10 @@ def build_wide(bvh: FlatBVH) -> WideBVH:
     )
 
     return WideBVH(
-        child=jnp.asarray(child.reshape(n_wide * WIDTH, 8)),
-        perm=jnp.asarray(perm),
+        child=jnp.asarray(child.reshape(n_wide * WIDTH * 8)),
+        perm=jnp.asarray(perm.reshape(n_wide * WIDTH)),
         trow=jnp.asarray(trow),
         n_wide=n_wide,
-        leaf_size=bvh.leaf_size,
+        leaf_size=wide_leaf,
         max_stack=max_stack,
     )

@@ -587,24 +587,24 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
             sp, alive = c
             sp = sp - 1
             node = stack_ref[sp]
-            pm = perm_ref[node, octant]
-            base = node * 8
+            pm = perm_ref[node * 8 + octant]
+            base = node * 64
             best_t = t_out_ref[...]
             if any_hit:
                 unblocked = prim_out_ref[...] < 0
             slots = []
             for k in range(8):  # near-first octant order
                 c8 = (pm >> (3 * k)) & 7
-                row = base + c8
+                f = base + c8 * 8
                 need = _slab(
                     ox, oy, oz, ix, iy, iz, t_min, best_t,
-                    child_ref[row, 0], child_ref[row, 1], child_ref[row, 2],
-                    child_ref[row, 3], child_ref[row, 4], child_ref[row, 5],
+                    child_ref[f], child_ref[f + 1], child_ref[f + 2],
+                    child_ref[f + 3], child_ref[f + 4], child_ref[f + 5],
                 )
                 if any_hit:
                     need = need & unblocked
-                ref = jnp.int32(child_ref[row, 6])
-                cnt = jnp.int32(child_ref[row, 7])
+                ref = jnp.int32(child_ref[f + 6])
+                cnt = jnp.int32(child_ref[f + 7])
                 slots.append((jnp.any(need), need, ref, cnt))
 
             # Leaf children: tested at the parent visit (no stack traffic).
@@ -671,11 +671,12 @@ def _traverse_wide(
     wide,
     any_hit: bool = False,
     t_min: float = T_MIN,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """pallas_call wrapper for the wide kernel. Node/perm tables ride in
     SMEM (scalar memory) — the walk reads them with ~1-cycle scalar loads
     instead of the VMEM row-load + roll + extract dance."""
+    interpret = _resolve_interpret(interpret)
     o, d, t_far = jax.lax.stop_gradient((o, d, t_far))
     wide = jax.lax.stop_gradient(wide)
     n = o.shape[0]
@@ -747,7 +748,7 @@ def _traverse_pallas(
     packed: BVHPacked,
     any_hit: bool = False,
     t_min: float = T_MIN,
-    interpret: bool = False,
+    interpret: bool | None = None,
     ordered: bool = False,
     variant: str | None = None,
 ):
@@ -755,6 +756,7 @@ def _traverse_pallas(
     # traversal outputs integers at fixed topology (SURVEY.md §3.2).
     # Severing the inputs keeps value_and_grad from linearizing the kernel
     # when rays/shadow origins are themselves differentiated values.
+    interpret = _resolve_interpret(interpret)
     o, d, t_far = jax.lax.stop_gradient((o, d, t_far))
     packed = jax.lax.stop_gradient(packed)
     n = o.shape[0]
@@ -810,8 +812,22 @@ def _traverse_pallas(
 CLOSEST_VARIANT = "ordered_rg"
 
 
+def _resolve_interpret(interpret):
+    """interpret=None means auto: Mosaic on TPU, interpreter elsewhere.
+
+    This makes the pallas backend runnable on any platform — CPU CI and
+    the gradient-parity tests exercise the exact production call graph
+    (chunked multi-pass, t-threading, refine) with only the kernel body
+    interpreted."""
+    if interpret is None:
+        import jax
+
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def traverse_closest_pallas(
-    o: Array, d: Array, bvh, t_min: float = T_MIN, interpret: bool = False,
+    o: Array, d: Array, bvh, t_min: float = T_MIN, interpret: bool | None = None,
     t_far: Array | None = None, variant: str = CLOSEST_VARIANT,
 ):
     """Closest hit: (t, prim) with prim==-1 on miss (or no hit under the
@@ -882,17 +898,24 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
     ]
 
 
-def build_chunked_wide(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS):
-    """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide)."""
+def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
+                       wide_leaf: int = 32):
+    """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide).
+
+    leaf_size is the BINARY SAH leaf (small = best tree quality); wide_leaf
+    is the traversal leaf granularity chosen at collapse time (adaptive
+    subtree leafing — see bvh.wide.build_wide)."""
     from blink.bvh.wide import build_wide
 
     return [
-        build_wide(b) for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
+        build_wide(b, wide_leaf=wide_leaf)
+        for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
     ]
 
 
 def traverse_closest_wide(
-    o: Array, d: Array, chunks, t_min: float = T_MIN, interpret: bool = False
+    o: Array, d: Array, chunks, t_min: float = T_MIN,
+    interpret: bool | None = None,
 ):
     """Closest hit over a list of WideBVH chunks (multi-pass, threaded
     best t — same exact semantics as traverse_closest_chunked)."""
@@ -912,7 +935,7 @@ def traverse_closest_wide(
 
 def traverse_anyhit_wide(
     o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     blocked = jnp.zeros((o.shape[0],), bool)
     for wide in chunks:
@@ -925,8 +948,8 @@ def traverse_anyhit_wide(
 
 
 def traverse_closest_chunked(
-    o: Array, d: Array, chunks, t_min: float = T_MIN, interpret: bool = False,
-    variant: str = CLOSEST_VARIANT,
+    o: Array, d: Array, chunks, t_min: float = T_MIN,
+    interpret: bool | None = None, variant: str = CLOSEST_VARIANT,
 ):
     """Closest hit over a list of chunk BVHs: sequential passes threading
     the running best t as each pass's t_far (exact: each chunk's walk is
@@ -947,7 +970,7 @@ def traverse_closest_chunked(
 
 def traverse_anyhit_chunked(
     o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     blocked = jnp.zeros((o.shape[0],), bool)
     for packed in chunks:
@@ -962,7 +985,7 @@ def traverse_anyhit_chunked(
 
 def traverse_anyhit_pallas(
     o: Array, d: Array, bvh, t_far: Array, t_min: float = T_MIN,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Shadow test: True where a hit exists in (t_min, t_far)."""
     packed = bvh if isinstance(bvh, BVHPacked) else pack_bvh_planes(bvh)

@@ -43,6 +43,32 @@ def test_anyhit_parity_interpret():
     np.testing.assert_array_equal(np.asarray(b_pl), np.asarray(b_ref))
 
 
+def test_wide_parity_interpret():
+    """8-wide SMEM-node kernel (bvh.wide + _make_kernel_wide) == reference,
+    closest and anyhit, chunked."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_wide,
+        traverse_anyhit_wide,
+        traverse_closest_wide,
+    )
+
+    tris = _random_tris(3000, 11)
+    chunks = build_chunked_wide(tris, chunk_tris=1000)
+    assert len(chunks) == 3
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(300, 12)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_w, p_w = traverse_closest_wide(o, d, chunks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
+    t_far = jnp.full((300,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_w = traverse_anyhit_wide(o, d, chunks, t_far, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
+
+
 def test_chunked_parity_interpret():
     """Chunked multi-pass traversal == single-tree reference (the path the
     1M-triangle scenes take on TPU), including anyhit."""
