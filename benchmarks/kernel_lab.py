@@ -44,15 +44,22 @@ def main() -> None:
 
     chunk_cache = {}
 
-    def get_chunks(leaf: int, wide: bool):
-        key = (leaf, wide)
+    def get_chunks(leaf: int, wide: bool, binary_leaf: int = 4,
+                   split_free: bool = True, block_reads: bool = True):
+        key = (leaf, wide, binary_leaf, split_free, block_reads)
         if key not in chunk_cache:
             t0 = time.perf_counter()
-            build = build_chunked_wide if wide else build_chunked_packed
-            chunk_cache[key] = build(scene.triangles, leaf_size=leaf)
+            if wide:
+                chunk_cache[key] = build_chunked_wide(
+                    scene.triangles, leaf_size=binary_leaf, wide_leaf=leaf,
+                    split_free=split_free, block_reads=block_reads,
+                )
+            else:
+                chunk_cache[key] = build_chunked_packed(
+                    scene.triangles, leaf_size=leaf
+                )
             print(
-                f"build(leaf={leaf},wide={wide}): "
-                f"{time.perf_counter() - t0:.1f}s, "
+                f"build{key}: {time.perf_counter() - t0:.1f}s, "
                 f"{len(chunk_cache[key])} chunks"
             )
         return chunk_cache[key]
@@ -62,10 +69,23 @@ def main() -> None:
 
     ref = None
     for case in cases:
+        # wide:64x64:l32[:m][:u][:bN]  m=must-only collapse (no free-slot
+        # splitting), u=unrolled leaf reads (no cnt-gated blocks),
+        # bN=binary SAH leaf N (default 4).
         parts = case.split(":")
         variant, tile_s = parts[0], parts[1]
         leaf = int(parts[2][1:]) if len(parts) > 2 else 16
-        chunks = get_chunks(leaf, variant == "wide")
+        split_free, block_reads, binary_leaf = True, True, 4
+        for f in parts[3:]:
+            if f == "m":
+                split_free = False
+            elif f == "u":
+                block_reads = False
+            elif f.startswith("b"):
+                binary_leaf = int(f[1:])
+        chunks = get_chunks(
+            leaf, variant == "wide", binary_leaf, split_free, block_reads
+        )
         th, tw = (int(x) for x in tile_s.split("x"))
         perm = _tile_perm(size, size, (th, tw))
         o, d = o0[perm], d0[perm]

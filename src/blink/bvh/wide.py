@@ -62,6 +62,11 @@ class WideBVH:
     n_wide: int = static_field(default=0)
     leaf_size: int = static_field(default=4)
     max_stack: int = static_field(default=WIDE_STACK_CAP)
+    #: kernel reads leaf tri records in cnt-gated blocks of 8 (vs one
+    #: straight unroll of leaf_size reads). Measured on-chip (bunny 512^2):
+    #: blocked reads cost ~25% — the cnt-gate conds outweigh the saved
+    #: loads — so straight unroll is the default.
+    block_reads: bool = static_field(default=False)
 
 
 def _sa(lo: np.ndarray, hi: np.ndarray) -> float:
@@ -69,7 +74,8 @@ def _sa(lo: np.ndarray, hi: np.ndarray) -> float:
     return float(d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
 
 
-def build_wide(bvh: FlatBVH, wide_leaf: int = 32) -> WideBVH:
+def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
+               block_reads: bool = False) -> WideBVH:
     """Collapse a binary preorder skip-link FlatBVH into a WideBVH.
 
     Adaptive subtree leafing: the SAH builder assigns leaf triangle slots
@@ -129,6 +135,8 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32) -> WideBVH:
                 if not is_internal[k]:
                     continue
                 must = not is_leafable(k)
+                if not must and not split_free:
+                    continue  # leafable kids terminal (coarser leaves)
                 s = _sa(lo[k], hi[k])
                 if (must, s) > (best_must, best_sa):
                     best, best_sa, best_must = i, s, must
@@ -239,4 +247,5 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32) -> WideBVH:
         n_wide=n_wide,
         leaf_size=wide_leaf,
         max_stack=max_stack,
+        block_reads=block_reads,
     )

@@ -32,6 +32,9 @@ class RenderConfig:
     # (diff.soft): 0 = off (pure fixed-topology gradients). The rendered
     # IMAGE is identical either way; only gradients change.
     soft_sigma: float = 0.0
+    # Mesh (triangle) silhouette gradients via SoftRas-lite neighbor
+    # candidates (diff.soft._mesh_soft_radiance); needs soft_sigma > 0.
+    soft_mesh: bool = False
     compact: bool = False  # wavefront ray compaction between path bounces
     ray_chunk: int = 0  # 0 = no chunking; else rays per device pass
     donate: bool = True

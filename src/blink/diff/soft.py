@@ -1,24 +1,26 @@
-"""Soft-visibility gradients for sphere silhouettes.
+"""Soft-visibility gradients for silhouettes (spheres AND meshes).
 
 Fixed-topology differentiation (diff.hitrefine) is exact for shading but
 omits visibility-edge (silhouette/coverage) terms, which dominate the
-pixel-MSE landscape when optimizing sphere POSITIONS (config 3,
-BASELINE.json:9). This module provides the standard remedy (SoftRas-style
-soft coverage, specialized to analytic spheres where it is exact-form):
+pixel-MSE landscape when optimizing geometry POSITIONS (config 3,
+BASELINE.json:9; BASELINE.json:5 "differentiable w.r.t. geometry"). This
+module provides the standard remedy — SoftRas-style soft coverage — with
+the  hard + (soft - stop_grad(soft))  trick: the IMAGE is the exact hard
+render (golden tests unchanged) while the GRADIENT is the soft
+estimator's, which contains the silhouette terms.
 
-  - the sphere-ray discriminant disc = (oc.d)^2 - |d|^2 (|oc|^2 - r^2) is
-    a SMOOTH function of center/radius that crosses zero exactly at the
-    silhouette; alpha = sigmoid(disc / (sigma * r^2)) is a differentiable
-    coverage weight;
-  - the soft radiance blends the nearest soft-covered sphere's shading
-    (evaluated at the real hit, or at the closest-approach limit point for
-    near-miss rays) with the sphere-free background radiance;
-  - the renderer emits  hard + (soft - stop_grad(soft)):  the IMAGE is the
-    exact hard render (golden tests unchanged), while the GRADIENT is the
-    soft estimator's — which contains the silhouette terms.
+Spheres (exact-form): the ray-sphere discriminant is a SMOOTH function of
+center/radius crossing zero exactly at the silhouette;
+alpha = sigmoid(disc / (sigma r^2)).
 
-Scope: spheres only (the spec's inverse-rendering target); mesh silhouette
-gradients would need edge sampling and are out of scope for this round.
+Meshes (SoftRas-lite, VERDICT r1 #7): per pixel, candidate triangles are
+the hit triangles of the pixel and its 4 image neighbors (the only
+triangles whose silhouette can cross this pixel at image resolution — a
+TPU-friendly O(5) gather instead of SoftRas' O(T) rasterization loop).
+Each candidate's coverage is a sigmoid of its smooth barycentric edge
+margin min(u, v, 1-u-v); candidates composite front-to-back by plane-hit
+t with transmittance weights, so both sides of an edge blend between the
+triangle's shading and what its neighbor sees behind it.
 """
 from __future__ import annotations
 
@@ -88,6 +90,158 @@ def _sphere_geom(o: Array, d: Array, scene: Scene, t_star: Array, idx: Array,
     )
 
 
+def _tri_geom(o: Array, d: Array, scene: Scene, prim: Array, t_plane: Array,
+              valid: Array) -> HitGeom:
+    """Differentiable shading geometry on triangle `prim` at its PLANE hit
+    (near-miss rays shade at the just-outside-the-edge limit point —
+    the mesh analog of _sphere_geom's closest-approach projection)."""
+    from blink.scene.textures import sample_texture
+
+    tris = scene.triangles
+    tp = jnp.clip(prim, 0, scene.n_triangles - 1)
+    i0, i1, i2 = tris.idx[tp, 0], tris.idx[tp, 1], tris.idx[tp, 2]
+    v0 = tris.verts[i0]
+    e1 = tris.verts[i1] - v0
+    e2 = tris.verts[i2] - v0
+    nrm = vec.normalize(vec.cross(e1, e2))
+    p = o + t_plane[:, None] * d
+    # Barycentrics of the plane point (for uv/texture continuity).
+    pvec = vec.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = vec.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    uv = (
+        (1.0 - u - v)[:, None] * tris.uv[i0]
+        + u[:, None] * tris.uv[i1]
+        + v[:, None] * tris.uv[i2]
+    )
+    flip = jnp.where(vec.vdot(nrm, d) > 0.0, -1.0, 1.0)
+    nrm = nrm * flip[:, None]
+    mat = tris.material_id[tp]
+    albedo = scene.materials.albedo[mat]
+    tex = sample_texture(scene.textures, scene.materials.texture_id[mat], uv)
+    albedo = albedo * tex
+    emission = scene.materials.emission[mat]
+    vmask = valid[:, None]
+    return HitGeom(
+        valid=valid,
+        t=jnp.where(valid, t_plane, 1e30),
+        p=jnp.where(vmask, p, 0.0),
+        n=jnp.where(vmask, nrm, 0.0),
+        uv=jnp.where(vmask, uv, 0.0),
+        mat=jnp.where(valid, mat, 0),
+        albedo=jnp.where(vmask, albedo, 0.0),
+        emission=jnp.where(vmask, emission, 0.0),
+    )
+
+
+def _mesh_soft_radiance(
+    o: Array, d: Array, keys: Array, scene: Scene, backend,
+    deterministic: bool, sigma: float, hw: tuple[int, int], hit,
+) -> Array:
+    """SoftRas-lite soft radiance over neighbor-candidate triangles.
+
+    hit: the hard topology (backend.intersect output, already computed by
+    the hard pass). Rays MUST be in row-major (h, w) pixel order. `sigma`
+    is the silhouette band half-width in PIXELS (~0.5-1.5)."""
+    from blink.kernels.types import KIND_TRI
+
+    h, w = hw
+    n = o.shape[0]
+    # Vertical pixel angle (pinhole): 2 tan(fov/2) / h. stop_gradient: the
+    # footprint is a SCALE, not a differentiation surface (camera-fov
+    # gradients flow through the hard estimator's shading terms).
+    pix_ang = jax.lax.stop_gradient(
+        2.0 * jnp.tan(jnp.deg2rad(scene.camera.fov_deg) * 0.5) / h
+    )
+    prim = jnp.where(hit.kind == KIND_TRI, hit.prim, -1)
+    pimg = prim.reshape(h, w)
+    # Candidates: own hit + 4-neighborhood hits (dedup'd left-to-right).
+    cands = [
+        pimg,
+        jnp.roll(pimg, 1, axis=0),
+        jnp.roll(pimg, -1, axis=0),
+        jnp.roll(pimg, 1, axis=1),
+        jnp.roll(pimg, -1, axis=1),
+    ]
+    cands = [c.reshape(n) for c in cands]
+    dedup = [cands[0]]
+    for c in cands[1:]:
+        dup = jnp.zeros((n,), bool)
+        for seen in dedup:
+            dup = dup | (c == seen)
+        dedup.append(jnp.where(dup, -1, c))
+    tris = scene.triangles
+
+    alphas, ts, prims = [], [], []
+    for c in dedup:
+        cp = jnp.clip(c, 0, scene.n_triangles - 1)
+        i0, i1, i2 = tris.idx[cp, 0], tris.idx[cp, 1], tris.idx[cp, 2]
+        v0 = tris.verts[i0]
+        e1 = tris.verts[i1] - v0
+        e2 = tris.verts[i2] - v0
+        # Raw (uncut) Möller–Trumbore: smooth plane hit + barycentrics.
+        pvec = vec.cross(d, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        degenerate = det == 0.0
+        inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+        tvec = o - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = vec.cross(tvec, e1)
+        v = jnp.sum(d * qvec, axis=-1) * inv_det
+        t_pl = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        # Signed edge distance in WORLD units (bary * opposite-edge
+        # height), then normalized by the PIXEL FOOTPRINT at the hit
+        # distance (t * pixel angle): the sigmoid band is `sigma` PIXELS
+        # wide in screen space regardless of triangle size or distance.
+        # A scale-free bary margin (first attempt) leaves interior
+        # coverage unsaturated for small triangles — the parasitic
+        # interior-coverage gradients then drown the silhouette signal
+        # (measured: soft loss landscape descends toward the truth while
+        # its local AD slope points the other way).
+        n2 = vec.cross(e1, e2)
+        area2 = jnp.sqrt(jnp.maximum(jnp.sum(n2 * n2, axis=-1), 1e-20))
+        h_u = area2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1), 1e-10)
+        h_v = area2 / jnp.maximum(jnp.linalg.norm(e1, axis=-1), 1e-10)
+        h_w = area2 / jnp.maximum(
+            jnp.linalg.norm(e2 - e1, axis=-1), 1e-10
+        )
+        d_world = jnp.minimum(
+            jnp.minimum(u * h_u, v * h_v), (1.0 - u - v) * h_w
+        )
+        footprint = jnp.maximum(t_pl, RAY_EPS) * pix_ang
+        alpha = jax.nn.sigmoid(d_world / (sigma * footprint))
+        ok = (c >= 0) & ~degenerate & (t_pl > RAY_EPS)
+        alphas.append(jnp.where(ok, alpha, 0.0))
+        ts.append(jnp.where(ok, t_pl, 1e30))
+        prims.append(c)
+    A = jnp.stack(alphas, axis=1)  # (N, 5)
+    T = jnp.stack(ts, axis=1)
+    Pr = jnp.stack(prims, axis=1)
+    order = jnp.argsort(T, axis=1)  # front-to-back
+    rows = jnp.arange(n)[:, None]
+    A = A[rows, order]
+    T = T[rows, order]
+    Pr = Pr[rows, order]
+
+    soft = jnp.zeros((n, 3), A.dtype)
+    trans = jnp.ones((n,), A.dtype)
+    for k in range(len(dedup)):
+        geom = _tri_geom(
+            o, d, scene, Pr[:, k], T[:, k], (A[:, k] > 0.0) & (T[:, k] < 1e29)
+        )
+        l_k = geom.emission + nee_direct(
+            scene, geom, keys, backend, bounce=0, deterministic=deterministic
+        )
+        wgt = trans * A[:, k]
+        soft = soft + wgt[:, None] * l_k
+        trans = trans * (1.0 - A[:, k])
+    return soft  # residual transmittance sees the black environment
+
+
 def li_direct_soft(
     o: Array,
     d: Array,
@@ -96,27 +250,35 @@ def li_direct_soft(
     backend,
     deterministic: bool,
     sigma: float,
+    hw: tuple[int, int] | None = None,
 ) -> Array:
-    """Direct-lighting radiance with soft-silhouette sphere gradients.
+    """Direct-lighting radiance with soft-silhouette gradients.
 
     Forward value == li_direct exactly (hard + soft - stop_grad(soft));
-    backward flows through the soft blend alpha*L_sphere + (1-alpha)*L_bg.
-    """
+    backward flows through the soft coverage blends. Sphere silhouettes
+    always; mesh silhouettes when `hw` gives the image shape (rays in
+    row-major pixel order — the non-permuted render path)."""
     from blink.render.integrators import li_direct
     from blink.scene.scene import empty_spheres
 
     hard = li_direct(o, d, keys, scene, backend, deterministic)
-    if scene.n_spheres == 0:
-        return hard
+    out = hard
+    if scene.n_spheres > 0:
+        # Background: the scene without spheres (triangles only).
+        scene_bg = scene.replace(spheres=empty_spheres())
+        l_bg = li_direct(o, d, keys, scene_bg, backend, deterministic)
 
-    # Background: the scene without spheres (triangles only).
-    scene_bg = scene.replace(spheres=empty_spheres())
-    l_bg = li_direct(o, d, keys, scene_bg, backend, deterministic)
-
-    alpha, t_star, idx = _sphere_soft_terms(o, d, scene, sigma)
-    geom = _sphere_geom(o, d, scene, t_star, idx, alpha > 0.0)
-    l_sph = geom.emission + nee_direct(
-        scene, geom, keys, backend, bounce=0, deterministic=deterministic
-    )
-    soft = alpha[:, None] * l_sph + (1.0 - alpha[:, None]) * l_bg
-    return hard + (soft - jax.lax.stop_gradient(soft))
+        alpha, t_star, idx = _sphere_soft_terms(o, d, scene, sigma)
+        geom = _sphere_geom(o, d, scene, t_star, idx, alpha > 0.0)
+        l_sph = geom.emission + nee_direct(
+            scene, geom, keys, backend, bounce=0, deterministic=deterministic
+        )
+        soft = alpha[:, None] * l_sph + (1.0 - alpha[:, None]) * l_bg
+        out = out + (soft - jax.lax.stop_gradient(soft))
+    if hw is not None and scene.n_triangles > 0:
+        hit = backend.intersect(o, d, scene)
+        soft_m = _mesh_soft_radiance(
+            o, d, keys, scene, backend, deterministic, sigma, hw, hit
+        )
+        out = out + (soft_m - jax.lax.stop_gradient(soft_m))
+    return out

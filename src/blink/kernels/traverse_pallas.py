@@ -91,13 +91,24 @@ def pack_bvh_planes(bvh: FlatBVH) -> BVHPacked:
     # depth fits STACK_CAP. build_sah_bvh bounds depth by construction
     # (_FORCE_BALANCE_DEPTH); this guards every other producer too.
     skip_np = np.asarray(bvh.skip)
+    # Padding nodes (EMPTY_BOX point boxes at 1e30 — see bvh.build) can
+    # never pass a slab test, so the walk never descends INTO them —
+    # exclude them from the nesting model (uniformly-padded sharded chunks
+    # put thousands of them in a tail chain whose naive nesting depth is
+    # O(pad)).
+    from blink.bvh.build import EMPTY_BOX as _EB
+
+    unreachable = (
+        (np.asarray(bvh.lo) >= _EB) & (np.asarray(bvh.hi) >= _EB)
+    ).all(axis=1)
     stack: list[int] = []
     max_depth = 0
     for i in range(n):
         while stack and stack[-1] <= i:
             stack.pop()
         max_depth = max(max_depth, len(stack))
-        stack.append(int(skip_np[i]))
+        if not unreachable[i]:
+            stack.append(int(skip_np[i]))
     if max_depth + 2 > STACK_CAP:
         raise ValueError(
             f"BVH depth {max_depth} needs stack {max_depth + 2} > "
@@ -545,7 +556,7 @@ def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
 
 
 def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
-                      any_hit: bool):
+                      any_hit: bool, block_reads: bool = True):
     """8-wide SMEM-node packet walk (see bvh.wide for the data layout and
     the design rationale). Per iteration: pop one wide node, slab-test all
     8 children (independent vector ops — the serial scalar chain is paid
@@ -608,38 +619,52 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                 slots.append((jnp.any(need), need, ref, cnt))
 
             # Leaf children: tested at the parent visit (no stack traffic).
+            # Triangle records are read in blocks of 8 slots, each block
+            # gated on cnt reaching it — the adaptive collapse (bvh.wide)
+            # produces many short leaves, and ungated unrolls would pay
+            # leaf_size row-load+rolls per visit regardless of cnt.
             for k in range(8):
                 hit_k, need, ref, cnt = slots[k]
 
                 @pl.when(hit_k & (cnt > 0))
                 def _(need=need, ref=ref, cnt=cnt):
-                    trs = [read_tri(ref + j) for j in range(leaf_size)]
-                    for g in range(ROW_GROUPS):
-                        rs = slice(g * GR, (g + 1) * GR)
-                        gneed = need[rs]
+                    blk = 8 if block_reads else leaf_size
+                    for b0 in range(0, leaf_size, blk):
+                        nblk = min(blk, leaf_size - b0)
 
-                        @pl.when(jnp.any(gneed))
-                        def _(rs=rs, gneed=gneed):
-                            bt = t_out_ref[rs]
-                            pr = prim_out_ref[rs]
-                            gox, goy, goz = ox[rs], oy[rs], oz[rs]
-                            gdx, gdy, gdz = dx[rs], dy[rs], dz[rs]
-                            for j in range(leaf_size):
-                                tr = trs[j]
-                                t = _mt_tri(
-                                    gox, goy, goz, gdx, gdy, gdz,
-                                    tr[0, 0], tr[0, 1], tr[0, 2],
-                                    tr[0, 3], tr[0, 4], tr[0, 5],
-                                    tr[0, 6], tr[0, 7], tr[0, 8],
-                                    t_min, bt,
-                                )
-                                better = gneed & (j < cnt) & (t < bt)
-                                bt = jnp.where(better, t, bt)
-                                pr = jnp.where(
-                                    better, jnp.int32(tr[0, 9]), pr
-                                )
-                            t_out_ref[rs] = bt
-                            prim_out_ref[rs] = pr
+                        @pl.when(cnt > b0)
+                        def _(b0=b0, nblk=nblk):
+                            trs = [
+                                read_tri(ref + b0 + j) for j in range(nblk)
+                            ]
+                            for g in range(ROW_GROUPS):
+                                rs = slice(g * GR, (g + 1) * GR)
+                                gneed = need[rs]
+
+                                @pl.when(jnp.any(gneed))
+                                def _(rs=rs, gneed=gneed, b0=b0, nblk=nblk):
+                                    bt = t_out_ref[rs]
+                                    pr = prim_out_ref[rs]
+                                    gox, goy, goz = ox[rs], oy[rs], oz[rs]
+                                    gdx, gdy, gdz = dx[rs], dy[rs], dz[rs]
+                                    for j in range(nblk):
+                                        tr = trs[j]
+                                        t = _mt_tri(
+                                            gox, goy, goz, gdx, gdy, gdz,
+                                            tr[0, 0], tr[0, 1], tr[0, 2],
+                                            tr[0, 3], tr[0, 4], tr[0, 5],
+                                            tr[0, 6], tr[0, 7], tr[0, 8],
+                                            t_min, bt,
+                                        )
+                                        better = (
+                                            gneed & (b0 + j < cnt) & (t < bt)
+                                        )
+                                        bt = jnp.where(better, t, bt)
+                                        pr = jnp.where(
+                                            better, jnp.int32(tr[0, 9]), pr
+                                        )
+                                    t_out_ref[rs] = bt
+                                    prim_out_ref[rs] = pr
 
             # Internal children: push far-to-near (near pops first).
             for k in reversed(range(8)):
@@ -681,7 +706,9 @@ def _traverse_wide(
     wide = jax.lax.stop_gradient(wide)
     n = o.shape[0]
     o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
-    kernel = _make_kernel_wide(wide.n_wide, wide.leaf_size, t_min, any_hit)
+    kernel = _make_kernel_wide(
+        wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads
+    )
     ray3 = pl.BlockSpec(
         (3, RAY_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -694,6 +721,7 @@ def _traverse_wide(
             arr.shape, lambda i: (0,) * arr.ndim, memory_space=space
         )
 
+    vma = _vma_of(o_t, d_t, tf_t, wide.child, wide.trow)
     t_out, prim_out = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -707,8 +735,8 @@ def _traverse_wide(
         ],
         out_specs=(ray1, ray1),
         out_shape=(
-            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32, vma=vma),
         ),
         scratch_shapes=[pltpu.SMEM((wide.max_stack,), jnp.int32)],
         interpret=interpret,
@@ -793,14 +821,15 @@ def _traverse_pallas(
             arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
+    vma = _vma_of(o_t, d_t, tf_t, packed.nrow, packed.trow)
     t_out, prim_out = pl.pallas_call(
         kernel,
         grid=(g // N_WALKS,),
         in_specs=[ray3, ray3, ray1, whole(packed.nrow), whole(packed.trow)],
         out_specs=(ray1, ray1),
         out_shape=(
-            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32, vma=vma),
         ),
         scratch_shapes=scratch,
         interpret=interpret,
@@ -810,6 +839,17 @@ def _traverse_pallas(
 
 #: production closest-hit kernel variant (see _make_kernel_ordered_rg).
 CLOSEST_VARIANT = "ordered_rg"
+
+
+def _vma_of(*xs):
+    """Union of the inputs' varying-manual-axes — inside jax.shard_map the
+    pallas_call out_shapes must declare how outputs vary across the mesh
+    (outputs vary wherever any input does; the kernel is pointwise in the
+    mesh). Empty outside shard_map."""
+    s: set = set()
+    for x in xs:
+        s |= set(getattr(jax.typeof(x), "vma", ()) or ())
+    return frozenset(s)
 
 
 def _resolve_interpret(interpret):
@@ -899,7 +939,8 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
 
 
 def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
-                       wide_leaf: int = 32):
+                       wide_leaf: int = 32, split_free: bool = False,
+                       block_reads: bool = False):
     """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide).
 
     leaf_size is the BINARY SAH leaf (small = best tree quality); wide_leaf
@@ -908,7 +949,8 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
     from blink.bvh.wide import build_wide
 
     return [
-        build_wide(b, wide_leaf=wide_leaf)
+        build_wide(b, wide_leaf=wide_leaf, split_free=split_free,
+                   block_reads=block_reads)
         for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
     ]
 

@@ -29,8 +29,12 @@ def render_rays(
     deterministic: bool = False,
     compact: bool = False,
     soft_sigma: float = 0.0,
+    soft_hw: "tuple[int, int] | None" = None,
 ) -> Array:
-    """Radiance for an arbitrary ray batch (the unit the wavefront shards)."""
+    """Radiance for an arbitrary ray batch (the unit the wavefront shards).
+
+    soft_hw: image shape for mesh-silhouette soft gradients (rays must be
+    in row-major pixel order; see diff.soft)."""
     if integrator == "path":
         return li_path(
             o, d, keys, scene, backend, max_depth, deterministic, compact
@@ -39,7 +43,8 @@ def render_rays(
         from blink.diff.soft import li_direct_soft
 
         return li_direct_soft(
-            o, d, keys, scene, backend, deterministic, soft_sigma
+            o, d, keys, scene, backend, deterministic, soft_sigma,
+            hw=soft_hw,
         )
     return INTEGRATORS[integrator](o, d, keys, scene, backend, deterministic)
 
@@ -84,7 +89,11 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
     def one_sample(s):
         jitter = cfg.jitter and not cfg.deterministic
         o, d, pkeys = generate_rays(scene.camera, h, w, key, s, jitter)
+        soft_hw = (h, w) if (cfg.soft_mesh and cfg.soft_sigma > 0) else None
         if perm is not None:
+            # Permuted (pallas-tiled) rays are not in row-major pixel
+            # order; mesh soft coverage needs the image lattice, so it is
+            # only available on the unpermuted path.
             li_t = render_rays(
                 o[perm], d[perm], pkeys[perm], scene, backend,
                 cfg.integrator, cfg.max_depth, cfg.deterministic,
@@ -93,7 +102,7 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
             return jnp.zeros_like(li_t).at[perm].set(li_t)
         return render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
-            cfg.deterministic, cfg.compact, cfg.soft_sigma,
+            cfg.deterministic, cfg.compact, cfg.soft_sigma, soft_hw,
         )
 
     def body(s, acc):

@@ -81,6 +81,43 @@ def test_dist_path_tracing_matches_single():
     np.testing.assert_array_equal(img8, img1)
 
 
+def test_sharded_bvh_chunks_match_replicated():
+    """VERDICT r1 #6: scene sharding over the REAL traversal — each device
+    walks only its own Morton-chunk BVHs with the production Pallas packet
+    kernel (interpret mode on the CPU mesh), winners combine with pmin.
+    Must equal the replicated chunked traversal exactly."""
+    from blink.dist.scene_shard import (
+        build_sharded_chunks,
+        intersect_chunks_sharded,
+        occluded_chunks_sharded,
+    )
+    from blink.kernels.traverse_pallas import (
+        build_chunked_packed,
+        traverse_anyhit_chunked,
+        traverse_closest_chunked,
+    )
+    from tests.test_bvh import _random_rays, _random_tris
+
+    tris = _random_tris(3000, 31)
+    mesh = make_mesh(8)
+    stacked, meta = build_sharded_chunks(tris, 8, chunk_tris=500)
+    assert meta.per_shard == 1  # 6 real chunks + 2 empty over 8 devices
+    o, d = _random_rays(300, 32)
+
+    ref_chunks = build_chunked_packed(tris, chunk_tris=500)
+    t_ref, p_ref = traverse_closest_chunked(o, d, ref_chunks)
+    t_sh, p_sh = intersect_chunks_sharded(o, d, stacked, meta, mesh)
+    np.testing.assert_allclose(
+        np.asarray(t_sh), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_ref))
+
+    t_far = jnp.full((300,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit_chunked(o, d, ref_chunks, t_far)
+    b_sh = occluded_chunks_sharded(o, d, stacked, meta, t_far, mesh)
+    np.testing.assert_array_equal(np.asarray(b_sh), np.asarray(b_ref))
+
+
 def test_scene_sharding_matches_replicated():
     """SURVEY §2 'Parallelism: scene sharding': triangles sharded over the
     mesh (rays replicated), combined hits == single-device brute force."""

@@ -120,6 +120,54 @@ def test_fit_recovers_sphere_positions_soft():
     assert err1 < err0 * 0.6, (err0, err1)
 
 
+def test_fit_recovers_mesh_offset_soft():
+    """Mesh silhouette gradients (VERDICT r1 #7; BASELINE.json:5
+    'differentiable w.r.t. geometry'): recover a rigid translation of the
+    bunny-class mesh through tri_verts. Fixed-topology gradients barely see
+    a translation (silhouette flux dominates); the SoftRas-lite mesh soft
+    coverage (diff.soft, cfg.soft_mesh) makes it descend. Forward images
+    are identical in soft mode (checked)."""
+    import optax
+
+    from blink.api import extract_params, merge_params
+    from blink.kernels.api import make_backend
+    from blink.render.api import render_image
+    from blink.scene.builders import bunny_scene
+
+    scene = bunny_scene(2)  # 320-tri icosphere + floor + light
+    cfg = get_config("bunny").override(
+        width=48, height=48, deterministic=True, spp=1, backend="brute"
+    )
+    be = make_backend("brute", scene)
+    target = render_image(scene, cfg, be)
+    cfg_soft = cfg.override(soft_sigma=1.0, soft_mesh=True)
+    np.testing.assert_array_equal(
+        np.asarray(render_image(scene, cfg_soft, be)), np.asarray(target)
+    )
+
+    p0 = extract_params(scene, ("tri_verts",))["tri_verts"]
+    mesh_rows = jnp.zeros((p0.shape[0], 1)).at[8:].set(1.0)  # icosphere rows
+
+    def loss(offset):
+        tv = p0 + mesh_rows * offset[None, :]
+        s = merge_params(scene, {"tri_verts": tv})
+        return jnp.mean((render_image(s, cfg_soft, be) - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    p = jnp.asarray([0.05, -0.03, 0.0])
+    err0 = float(jnp.linalg.norm(p))
+    opt = optax.adam(8e-3)
+    st = opt.init(p)
+    l0 = None
+    for _ in range(50):
+        l, g = vg(p)
+        l0 = float(l) if l0 is None else l0
+        up, st = opt.update(g, st, p)
+        p = optax.apply_updates(p, up)
+    assert float(jnp.linalg.norm(p)) < err0 * 0.5, (err0, p)
+    assert float(l) < l0 * 0.25, (l0, float(l))
+
+
 def test_fit_tensorboard_summaries(tmp_path):
     """SURVEY.md §5 observability: tensorboard scalars + image summaries."""
     cfg = get_config("fit").override(
