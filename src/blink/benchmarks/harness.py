@@ -33,20 +33,11 @@ def _time(fn, *args, warmup: int = 1, iters: int = 3) -> float:
 def tile_rays(o, d, h: int, w: int):
     """Permute rays into the (RAY_ROWS x LANES) pixel tiles the Pallas
     packet kernel wants (same layout render.api uses)."""
-    import numpy as np
+    from blink.render.api import _tile_perm
 
-    from blink.kernels.traverse_pallas import LANES, RAY_ROWS
-
-    if h % RAY_ROWS or w % LANES:
+    perm = _tile_perm(h, w)
+    if perm is None:
         return o, d
-    ids = np.arange(h * w).reshape(h, w)
-    perm = np.concatenate(
-        [
-            ids[r : r + RAY_ROWS, c : c + LANES].ravel()
-            for r in range(0, h, RAY_ROWS)
-            for c in range(0, w, LANES)
-        ]
-    )
     return o[perm], d[perm]
 
 
@@ -55,12 +46,12 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
     closest-hit over the scene's triangle BVH via the Pallas packet
     kernels (chunked multi-pass for scenes beyond VMEM)."""
     from blink.kernels.traverse_pallas import (
-        build_chunked_packed,
+        build_chunked_wide,
         traverse_closest_chunked,
     )
     from blink.render.camera import generate_rays
 
-    chunks = build_chunked_packed(scene.triangles)
+    chunks = build_chunked_wide(scene.triangles)
     key = jax.random.key(0)
     o, d, _ = jax.jit(
         lambda s: generate_rays(s.camera, size, size, key, 0, False)

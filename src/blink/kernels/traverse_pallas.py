@@ -995,15 +995,25 @@ def traverse_closest_chunked(
 ):
     """Closest hit over a list of chunk BVHs: sequential passes threading
     the running best t as each pass's t_far (exact: each chunk's walk is
-    culled by hits found in previous chunks)."""
+    culled by hits found in previous chunks). Chunks may be BVHPacked
+    (binary lane-slot kernels, per `variant`) or WideBVH (8-wide SMEM-node
+    kernel) — the production pallas backend ships wide chunks."""
+    from blink.bvh.wide import WideBVH
+
     n = o.shape[0]
     best_t = jnp.full((n,), T_MAX, jnp.float32)
     best_prim = jnp.full((n,), -1, jnp.int32)
     for packed in chunks:
-        t, prim = _traverse_pallas(
-            o, d, best_t, packed, any_hit=False, t_min=t_min,
-            interpret=interpret, variant=variant,
-        )
+        if isinstance(packed, WideBVH):
+            t, prim = _traverse_wide(
+                o, d, best_t, packed, any_hit=False, t_min=t_min,
+                interpret=interpret,
+            )
+        else:
+            t, prim = _traverse_pallas(
+                o, d, best_t, packed, any_hit=False, t_min=t_min,
+                interpret=interpret, variant=variant,
+            )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
         best_prim = jnp.where(better, prim, best_prim)
@@ -1014,13 +1024,22 @@ def traverse_anyhit_chunked(
     o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
     interpret: bool | None = None,
 ):
+    from blink.bvh.wide import WideBVH
+
     blocked = jnp.zeros((o.shape[0],), bool)
     for packed in chunks:
         # Blocked rays get t_far=0: their packets' slab tests all fail.
         tf = jnp.where(blocked, 0.0, t_far)
-        _, prim = _traverse_pallas(
-            o, d, tf, packed, any_hit=True, t_min=t_min, interpret=interpret
-        )
+        if isinstance(packed, WideBVH):
+            _, prim = _traverse_wide(
+                o, d, tf, packed, any_hit=True, t_min=t_min,
+                interpret=interpret,
+            )
+        else:
+            _, prim = _traverse_pallas(
+                o, d, tf, packed, any_hit=True, t_min=t_min,
+                interpret=interpret,
+            )
         blocked = blocked | (prim >= 0)
     return blocked
 
