@@ -111,22 +111,36 @@ def bench_render_grad(scene, cfg, param_names=("albedo",), backend=None) -> dict
     return {"wall_s": dt, "rays": rays, "rays_per_s_fwd_bwd": rays / dt}
 
 
-def roofline(n_tris: int, rays_per_s: float, hbm_gbps: float = 819.0) -> dict[str, Any]:
+#: measured effective HBM bandwidth on the axon-emulated chip
+#: (docs/PERF_NOTES.md) vs the v5e nominal. SOL is reported against BOTH:
+#: nominal is the spec's speed-of-light, measured is this hardware's.
+HBM_GBPS_NOMINAL = 819.0
+HBM_GBPS_MEASURED = 270.0
+
+
+def roofline(n_tris: int, rays_per_s: float,
+             hbm_gbps: float = HBM_GBPS_NOMINAL) -> dict[str, Any]:
     """Speed-of-light sanity: HBM bytes/ray budget at measured throughput.
 
-    v5e HBM ~819 GB/s. A BVH walk touches ~`nodes_per_ray` 32 B nodes and a
-    few 36 B triangles; the budget line says what byte/ray cost the measured
-    rate implies and what the SOL rate would be at the nominal cost.
+    A BVH walk touches ~`nodes_per_ray` 32 B nodes and a few 36 B
+    triangles; the budget line says what byte/ray cost the measured rate
+    implies and what the SOL rate would be at the nominal cost — against
+    both the v5e datasheet bandwidth and this chip's measured effective
+    bandwidth (the emulator delivers ~1/3 of nominal).
     """
     nominal_bytes_per_ray = 24 * 32 + 8 * 36  # ~1.1 KB: 24 nodes + 8 tris
     implied_bytes_per_ray = hbm_gbps * 1e9 / max(rays_per_s, 1.0)
     sol_rays_per_s = hbm_gbps * 1e9 / nominal_bytes_per_ray
+    sol_measured = HBM_GBPS_MEASURED * 1e9 / nominal_bytes_per_ray
     return {
         "hbm_gbps": hbm_gbps,
+        "hbm_gbps_measured": HBM_GBPS_MEASURED,
         "nominal_bytes_per_ray": nominal_bytes_per_ray,
         "implied_bytes_per_ray": implied_bytes_per_ray,
         "sol_rays_per_s_at_nominal": sol_rays_per_s,
+        "sol_rays_per_s_at_measured_bw": sol_measured,
         "fraction_of_sol": rays_per_s / sol_rays_per_s,
+        "fraction_of_sol_measured_bw": rays_per_s / sol_measured,
     }
 
 

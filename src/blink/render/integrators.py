@@ -81,10 +81,20 @@ def nee_direct(
         return jnp.zeros((n, 3), jnp.float32)
     n_lights = scene.n_lights
     if deterministic:
+        # Static unroll: one shadow-ray pass PER LIGHT. Deterministic mode
+        # exists for oracles/goldens/FD on few-light scenes; a many-light
+        # scene would blow up trace size and run time — fail loudly.
+        if n_lights > 16:
+            raise ValueError(
+                f"deterministic light sampling unrolls over lights; "
+                f"{n_lights} lights would emit {n_lights} shadow passes. "
+                f"Use stochastic NEE (deterministic=False) for many-light "
+                f"scenes."
+            )
         total = jnp.zeros((n, 3), jnp.float32)
         u1 = jnp.full((n,), DET_U1, jnp.float32)
         u2 = jnp.full((n,), DET_U2, jnp.float32)
-        for l in range(n_lights):  # static unroll; spec scenes have few lights
+        for l in range(n_lights):
             light = jnp.full((n,), l, jnp.int32)
             total = total + _light_contrib(scene, geom, backend, light, u1, u2)
         return total
