@@ -1,7 +1,7 @@
-"""Forward-render cost bisection: where do the ~120ms/frame outside the
-traversal kernels go? Times each stage of the direct-lighting path
-separately on chip (binary ordered_rg kernel for fast compiles).
-PYTHONPATH=src python benchmarks/fwd_probe.py [tris]
+"""Forward-render cost bisection: times each stage of the direct-lighting
+path separately on chip, using the PRODUCTION pallas backend (8-wide
+SMEM-node kernel + packed shade table + tiled arithmetic raygen).
+python benchmarks/fwd_probe.py [tris] [size]
 """
 from __future__ import annotations
 
@@ -28,49 +28,44 @@ def main() -> None:
     from blink.api import build_scene
     from blink.config import get_config
     from blink.diff.hitrefine import refine
-    from blink.kernels.api import Backend
-    from blink.kernels.traverse_pallas import build_chunked_packed
-    from blink.render.api import _tile_perm, render_image
+    from blink.kernels.api import make_backend
+    from blink.render.api import render_image, tile_pixel_ids, _tile_shape
     from blink.render.camera import generate_rays
     from blink.render.integrators import li_direct, nee_direct
-    from blink.sampling.lights import sample_light_point  # noqa: F401
 
-    tris = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    size = 512
+    tris = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     cfg = get_config("sponza").override(
         width=size, height=size, spp=1, integrator="direct",
         backend="pallas", sponza_tris=tris,
     )
     scene = build_scene(cfg)
-    backend = Backend(name="pallas", bvh=build_chunked_packed(scene.triangles))
+    backend = make_backend("pallas", scene)
     n = size * size
     key = jax.random.key(0)
-    perm = _tile_perm(size, size)
+    th, tw = _tile_shape(size, size)
+    pid = tile_pixel_ids(size, size, th, tw)
 
     def rays(s):
-        o, d, pk = generate_rays(s.camera, size, size, key, 0, False)
-        return o[perm], d[perm], pk[perm]
+        return generate_rays(s.camera, size, size, key, 0, False, pixel_id=pid)
 
-    o, d, pk = jax.jit(rays)(scene)
-    o, d, pk = jax.block_until_ready((o, d, pk))
+    o, d, pk = jax.block_until_ready(jax.jit(rays)(scene))
 
     stages = {}
     dt, cs = timeit(jax.jit(rays), scene)
-    stages["raygen+perm"] = dt
+    stages["raygen(tiled)"] = dt
 
     isect = jax.jit(lambda o, d, s: backend.intersect(o, d, s))
     dt, cs = timeit(isect, o, d, scene)
-    stages["closest(2ch)"] = dt
+    stages["closest"] = dt
     hit = jax.block_until_ready(isect(o, d, scene))
 
-    ref_f = jax.jit(lambda o, d, h, s: refine(o, d, h, s))
+    ref_f = jax.jit(lambda o, d, h, s: refine(o, d, h, s, backend.shade))
     dt, cs = timeit(ref_f, o, d, hit, scene)
     stages["refine"] = dt
     geom = jax.block_until_ready(ref_f(o, d, hit, scene))
 
-    nee = jax.jit(
-        lambda s, g, k: nee_direct(s, g, k, backend, 0, False)
-    )
+    nee = jax.jit(lambda s, g, k: nee_direct(s, g, k, backend, 0, False))
     dt, cs = timeit(nee, scene, geom, pk)
     stages["nee(sample+shadow+brdf)"] = dt
 
@@ -78,9 +73,7 @@ def main() -> None:
     dt, cs = timeit(full, o, d, pk, scene)
     stages["li_direct total"] = dt
 
-    img = jax.jit(
-        lambda s: render_image(s, cfg, backend), static_argnums=()
-    )
+    img = jax.jit(lambda s: render_image(s, cfg, backend))
     dt, cs = timeit(img, scene)
     stages["render_image"] = dt
 

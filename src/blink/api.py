@@ -36,7 +36,12 @@ _PARAMS: dict[str, tuple[Callable[[Scene], Array], Callable[[Scene, Array], Scen
     ),
     "tri_verts": (
         lambda s: s.triangles.verts,
-        lambda s, v: s.replace(triangles=s.triangles.replace(verts=v)),
+        # geom_dirty: any render of the merged scene must rebuild the
+        # packed shading table in-jit (differentiable, never stale)
+        # instead of using a backend's precomputed cache.
+        lambda s, v: s.replace(
+            triangles=s.triangles.replace(verts=v), geom_dirty=True
+        ),
     ),
     "albedo": (
         lambda s: s.materials.albedo,
@@ -127,8 +132,21 @@ def render_grad(
         from blink.kernels.api import make_backend
 
         backend = make_backend(cfg.backend, scene)
+    backend = _drop_stale_shade(backend, param_names)
     params = extract_params(scene, tuple(param_names))
     return _render_grad_jit(params, scene, cfg, backend, target)
+
+
+def _drop_stale_shade(backend, param_names):
+    """When triangle vertices are optimized, the backend's precomputed
+    shading table (kernels.api.Backend.shade) would go stale against the
+    merged parameters AND would sever vertex gradients. Clearing it makes
+    diff.hitrefine pack the table in-jit from the live scene —
+    differentiable and never stale (one extra set of T-row gathers per
+    frame)."""
+    if "tri_verts" in param_names and getattr(backend, "shade", None) is not None:
+        return backend.replace(shade=None)
+    return backend
 
 
 def fit(
@@ -146,6 +164,7 @@ def fit(
         from blink.kernels.api import make_backend
 
         backend = make_backend(cfg.backend, scene0)
+    backend = _drop_stale_shade(backend, tuple(fit_cfg.optimize))
     # Copy: step_fn donates its params/opt_state buffers; without the copy
     # the first donation would invalidate the caller's scene arrays.
     params = jax.tree_util.tree_map(

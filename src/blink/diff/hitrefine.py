@@ -5,10 +5,16 @@ BASELINE.json:5 "custom VJPs through the intersection ... gradients back
 through hit records"): traversal returns integer topology (kind, prim); this
 module re-derives every geometric quantity (t, point, normal, uv) in closed
 form from (ray, prim, scene-params) so plain JAX autodiff produces exact
-geometry/camera gradients at fixed hit topology. The gather of primitive
-parameters here is what the backward pass turns into segment-sum scatters
-over primitives (handled by XLA's gather-transpose; see diff/scatter.py for
-the explicit form used by the Pallas path).
+geometry/camera gradients at fixed hit topology.
+
+Data-movement design (measured on the axon v5e — see core.rows and
+benchmarks/dispatch_probe.py): per-hit triangle attributes come from ONE
+16-wide row gather of the packed shade table (scene.shade) instead of ~10
+narrow gathers; material and sphere attributes come from branchless
+where-sweeps over their small tables (pure elementwise, zero gathers).
+The backward pass turns the single wide gather into a single segment-sum
+scatter over triangles (when the table is built differentiably in-jit) and
+the sweeps into per-row masked reductions.
 
 Both primitive hypotheses (sphere and triangle) are evaluated branchlessly
 and selected by `kind` — no data-dependent control flow under jit.
@@ -19,11 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from blink.core import vec
+from blink.core.rows import select_rows
 from blink.core.struct import pytree_dataclass
 from blink.kernels.sphere import sphere_t
 from blink.kernels.triangle import triangle_tuv
 from blink.kernels.types import Hit, KIND_SPHERE, KIND_TRI, T_MAX, T_MIN
 from blink.scene.scene import Scene
+from blink.scene.shade import pack_tri_shade
 from blink.scene.textures import sample_texture
 
 Array = jnp.ndarray
@@ -43,12 +51,29 @@ class HitGeom:
     emission: Array  # (N,3) emitted radiance (two-sided)
 
 
-def refine(o: Array, d: Array, hit: Hit, scene: Scene) -> HitGeom:
+def material_table(scene: Scene) -> Array:
+    """(M, 7) packed material rows [albedo(3), emission(3), tex_id(1)] —
+    built in-jit (elementwise concat, effectively free) so sweeps stay
+    differentiable w.r.t. albedo/emission."""
+    m = scene.materials
+    return jnp.concatenate(
+        [m.albedo, m.emission, m.texture_id.astype(m.albedo.dtype)[:, None]],
+        axis=1,
+    )
+
+
+def refine(
+    o: Array, d: Array, hit: Hit, scene: Scene, shade: Array | None = None
+) -> HitGeom:
     """Re-derive differentiable geometry from integer topology.
 
-    o, d: (N,3) rays. hit: topology from any traversal backend. The result
-    is exact for the primitive the traversal selected; misses produce zeroed
-    fields with valid=False.
+    o, d: (N,3) rays. hit: topology from any traversal backend. shade: the
+    (T,16) packed triangle table (scene.shade) — precomputed by the
+    backend for static geometry, or built in-jit (differentiably) by the
+    caller when vertices are optimized. None -> packed here from
+    scene.triangles (always correct; callers hoist it out of spp/bounce
+    loops for speed). The result is exact for the primitive the traversal
+    selected; misses produce zeroed fields with valid=False.
     """
     n_rays = o.shape[0]
     prim = jax.lax.stop_gradient(hit.prim)
@@ -64,8 +89,19 @@ def refine(o: Array, d: Array, hit: Hit, scene: Scene) -> HitGeom:
 
     if scene.n_spheres > 0:
         sp = jnp.clip(prim, 0, scene.n_spheres - 1)
-        c = scene.spheres.center[sp]
-        r = scene.spheres.radius[sp]
+        # Sphere attrs via where-sweep (spec scenes have <= ~8 spheres).
+        sph = scene.spheres
+        stab = jnp.concatenate(
+            [
+                sph.center,
+                sph.radius[:, None],
+                sph.material_id.astype(sph.center.dtype)[:, None],
+            ],
+            axis=1,
+        )
+        srow = select_rows(stab, sp)
+        c = srow[:, 0:3]
+        r = srow[:, 3]
         ts = sphere_t(o, d, c, r, T_MIN)  # same root-selection as forward
         ps = o + ts[..., None] * d
         ns = (ps - c) / jnp.maximum(r, vec.EPS)[..., None]
@@ -75,28 +111,27 @@ def refine(o: Array, d: Array, hit: Hit, scene: Scene) -> HitGeom:
         t = jnp.where(is_s, ts, t)
         nrm = jnp.where(is_s[..., None], ns, nrm)
         uv = jnp.where(is_s[..., None], jnp.stack([us, vs], -1), uv)
-        mat = jnp.where(is_s, scene.spheres.material_id[sp], mat)
+        mat = jnp.where(is_s, srow[:, 4].astype(jnp.int32), mat)
 
     if scene.n_triangles > 0:
-        tris = scene.triangles
+        if shade is None:
+            shade = pack_tri_shade(scene.triangles)
         tp = jnp.clip(prim, 0, scene.n_triangles - 1)
-        i0 = tris.idx[tp, 0]
-        i1 = tris.idx[tp, 1]
-        i2 = tris.idx[tp, 2]
-        v0 = tris.verts[i0]
-        e1 = tris.verts[i1] - v0
-        e2 = tris.verts[i2] - v0
+        row = shade[tp]  # ONE wide gather for all triangle attributes
+        v0 = row[:, 0:3]
+        e1 = row[:, 3:6]
+        e2 = row[:, 6:9]
         tt, bu, bv = triangle_tuv(o, d, v0, e1, e2, T_MIN)
         ng = vec.normalize(vec.cross(e1, e2))
         uv_tri = (
-            (1.0 - bu - bv)[..., None] * tris.uv[i0]
-            + bu[..., None] * tris.uv[i1]
-            + bv[..., None] * tris.uv[i2]
+            row[:, 9:11]
+            + bu[..., None] * row[:, 11:13]
+            + bv[..., None] * row[:, 13:15]
         )
         t = jnp.where(is_t, tt, t)
         nrm = jnp.where(is_t[..., None], ng, nrm)
         uv = jnp.where(is_t[..., None], uv_tri, uv)
-        mat = jnp.where(is_t, tris.material_id[tp], mat)
+        mat = jnp.where(is_t, row[:, 15].astype(jnp.int32), mat)
 
     # Guard: if refinement disagrees with traversal (measure-zero edge),
     # treat as miss rather than produce garbage gradients.
@@ -107,10 +142,13 @@ def refine(o: Array, d: Array, hit: Hit, scene: Scene) -> HitGeom:
     flip = jnp.where(vec.vdot(nrm, d) > 0.0, -1.0, 1.0)
     nrm = nrm * flip[..., None]
 
-    albedo = scene.materials.albedo[mat]
-    tex = sample_texture(scene.textures, scene.materials.texture_id[mat], uv)
+    mrow = select_rows(material_table(scene), mat)
+    albedo = mrow[:, 0:3]
+    tex = sample_texture(
+        scene.textures, mrow[:, 6].astype(jnp.int32), uv
+    )
     albedo = albedo * tex
-    emission = scene.materials.emission[mat]
+    emission = mrow[:, 3:6]
     vmask = valid[..., None]
     return HitGeom(
         valid=valid,

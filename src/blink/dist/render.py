@@ -47,6 +47,17 @@ def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> 
     key = jax.random.key(cfg.seed)
     pid0 = jnp.uint32(row0) * jnp.uint32(w)
     pixel_id = pid0 + jnp.arange(rows * w, dtype=jnp.uint32)
+    if (
+        scene.n_triangles > 0
+        and hasattr(backend, "shade")
+        and (backend.shade is None or scene.geom_dirty)
+    ):
+        from blink.scene.shade import pack_tri_shade
+
+        # Hoist the packed shading-table build out of the spp loop (see
+        # render.api.render_image; None or geom_dirty = rebuild in-jit
+        # from the live scene, the differentiable-geometry mode).
+        backend = backend.replace(shade=pack_tri_shade(scene.triangles))
 
     def body(s, acc):
         jitter = cfg.jitter and not cfg.deterministic
@@ -100,12 +111,13 @@ def dist_render_grad(
     mesh=None,
 ):
     """(loss, grads) of pixel-MSE, rays sharded, grads psum'd over 'd'."""
-    from blink.api import extract_params, merge_params
+    from blink.api import _drop_stale_shade, extract_params, merge_params
 
     if backend is None:
         from blink.kernels.api import make_backend
 
         backend = make_backend(cfg.backend, scene)
+    backend = _drop_stale_shade(backend, param_names)
     mesh = mesh or make_mesh()
     n = mesh.devices.size
     rows = _shard_rows(cfg, n)

@@ -31,6 +31,13 @@ Array = jnp.ndarray
 class Backend:
     name: str = static_field(default="brute")
     bvh: Any = None  # FlatBVH pytree for bvh/pallas backends
+    #: (T, 16) packed per-triangle shading table (scene.shade) used by
+    #: diff.hitrefine — ONE wide row gather per refine instead of ~10
+    #: narrow ones. None -> refine packs it from the live scene in-jit
+    #: (the differentiable-geometry mode: api.fit/render_grad clear this
+    #: field when triangle vertices are optimized, so the table can never
+    #: go stale w.r.t. the parameters being differentiated).
+    shade: Any = None
 
     def intersect(self, o: Array, d: Array, scene: Scene) -> Hit:
         if self.name == "brute":
@@ -52,6 +59,8 @@ class Backend:
 
 
 def make_backend(name: str, scene: Scene) -> Backend:
+    from blink.scene.shade import pack_tri_shade_np
+
     if name == "auto":
         if scene.n_triangles <= 64:
             name = "brute"
@@ -64,9 +73,17 @@ def make_backend(name: str, scene: Scene) -> Backend:
 
             name = "pallas" if jax.default_backend() == "tpu" else "bvh"
     if name == "brute":
-        return Backend(name="brute", bvh=None)
+        # No precomputed shade cache: brute is the oracle/differentiable
+        # path (small scenes, custom losses that move vertices through
+        # render_image directly) — render_image packs the table in-jit
+        # from the LIVE scene, so it can never go stale. Only the
+        # BVH-carrying backends (already stale-by-design under vertex
+        # edits, like any acceleration structure) precompute it.
+        return Backend(name="brute", bvh=None, shade=None)
     if name in ("bvh", "pallas"):
         from blink.bvh import build_flat_bvh
+
+        shade = pack_tri_shade_np(scene.triangles)
 
         if name == "pallas":
             from blink.kernels.traverse_pallas import build_chunked_wide
@@ -75,6 +92,11 @@ def make_backend(name: str, scene: Scene) -> Backend:
             # scenes), each collapsed to the 8-wide SMEM-node layout —
             # measured 1.7x over the binary ordered kernel on the 1M-tri
             # scene (18.4 vs 11.0 Mrays/s) with exact hit parity.
-            return Backend(name=name, bvh=build_chunked_wide(scene.triangles))
-        return Backend(name=name, bvh=build_flat_bvh(scene.triangles))
+            return Backend(
+                name=name, bvh=build_chunked_wide(scene.triangles),
+                shade=shade,
+            )
+        return Backend(
+            name=name, bvh=build_flat_bvh(scene.triangles), shade=shade
+        )
     raise KeyError(f"unknown backend '{name}'")

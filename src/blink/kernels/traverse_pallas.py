@@ -556,14 +556,20 @@ def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
 
 
 def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
-                      any_hit: bool, block_reads: bool = True):
+                      any_hit: bool, block_reads: bool = True,
+                      rows: int = RAY_ROWS):
     """8-wide SMEM-node packet walk (see bvh.wide for the data layout and
     the design rationale). Per iteration: pop one wide node, slab-test all
     8 children (independent vector ops — the serial scalar chain is paid
     once per 8 boxes instead of once per box), test leaf children
     immediately with row-group culling, push hit internal children
-    far-to-near so the nearest pops first."""
-    GR = RAY_ROWS // ROW_GROUPS
+    far-to-near so the nearest pops first.
+
+    rows: packet height (rays per packet = rows x 128). Smaller packets
+    shrink the packet-union of visited nodes/leaves (less shared work per
+    ray) but amortize the scalar walk over fewer rays."""
+    groups = min(ROW_GROUPS, rows)
+    GR = rows // groups
 
     def kernel(child_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref,
                t_out_ref, prim_out_ref, stack_ref):
@@ -587,7 +593,7 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
             jnp.int32(sx) + 2 * jnp.int32(sy) + 4 * jnp.int32(sz)
         )
         t_out_ref[...] = jnp.minimum(tfar_ref[...], T_MAX)
-        prim_out_ref[...] = jnp.full((RAY_ROWS, LANES), -1, jnp.int32)
+        prim_out_ref[...] = jnp.full((rows, LANES), -1, jnp.int32)
         stack_ref[0] = jnp.int32(0)  # push root
 
         def cond(c):
@@ -637,7 +643,7 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                             trs = [
                                 read_tri(ref + b0 + j) for j in range(nblk)
                             ]
-                            for g in range(ROW_GROUPS):
+                            for g in range(groups):
                                 rs = slice(g * GR, (g + 1) * GR)
                                 gneed = need[rs]
 
@@ -687,7 +693,7 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "t_min", "interpret")
+    jax.jit, static_argnames=("any_hit", "t_min", "interpret", "rows")
 )
 def _traverse_wide(
     o: Array,
@@ -697,6 +703,7 @@ def _traverse_wide(
     any_hit: bool = False,
     t_min: float = T_MIN,
     interpret: bool | None = None,
+    rows: int = RAY_ROWS,
 ):
     """pallas_call wrapper for the wide kernel. Node/perm tables ride in
     SMEM (scalar memory) — the walk reads them with ~1-cycle scalar loads
@@ -705,15 +712,16 @@ def _traverse_wide(
     o, d, t_far = jax.lax.stop_gradient((o, d, t_far))
     wide = jax.lax.stop_gradient(wide)
     n = o.shape[0]
-    o_t, d_t, tf_t, g = _pack_rays(o, d, t_far)
+    o_t, d_t, tf_t, g = _pack_rays(o, d, t_far, rows=rows)
     kernel = _make_kernel_wide(
-        wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads
+        wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads,
+        rows=rows,
     )
     ray3 = pl.BlockSpec(
-        (3, RAY_ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (3, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     ray1 = pl.BlockSpec(
-        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     def whole(arr: Array, space) -> pl.BlockSpec:
@@ -735,8 +743,8 @@ def _traverse_wide(
         ],
         out_specs=(ray1, ray1),
         out_shape=(
-            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((g * RAY_ROWS, LANES), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((g * rows, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((g * rows, LANES), jnp.int32, vma=vma),
         ),
         scratch_shapes=[pltpu.SMEM((wide.max_stack,), jnp.int32)],
         interpret=interpret,
@@ -744,12 +752,12 @@ def _traverse_wide(
     return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
 
 
-def _pack_rays(o: Array, d: Array, t_far: Array):
-    """Pad to a (N_WALKS x packet) multiple; (n,3) -> (3, G*RAY_ROWS, 128)."""
+def _pack_rays(o: Array, d: Array, t_far: Array, rows: int = RAY_ROWS):
+    """Pad to a (N_WALKS x packet) multiple; (n,3) -> (3, G*rows, 128)."""
     n = o.shape[0]
-    packet = RAY_ROWS * LANES * N_WALKS
-    g = -(-n // packet) * N_WALKS  # number of RAY_ROWS-row groups
-    pad = g * RAY_ROWS * LANES - n
+    packet = rows * LANES * N_WALKS
+    g = -(-n // packet) * N_WALKS  # number of rows-row groups
+    pad = g * rows * LANES - n
     o32 = jnp.asarray(o, jnp.float32)
     d32 = jnp.asarray(d, jnp.float32)
     tf = jnp.asarray(jnp.broadcast_to(t_far, (n,)), jnp.float32)
@@ -759,9 +767,9 @@ def _pack_rays(o: Array, d: Array, t_far: Array):
         o32 = jnp.concatenate([o32, jnp.zeros((pad, 3), jnp.float32)])
         d32 = jnp.concatenate([d32, jnp.ones((pad, 3), jnp.float32)])
         tf = jnp.concatenate([tf, jnp.zeros((pad,), jnp.float32)])
-    o_t = o32.T.reshape(3, g * RAY_ROWS, LANES)
-    d_t = d32.T.reshape(3, g * RAY_ROWS, LANES)
-    tf_t = tf.reshape(g * RAY_ROWS, LANES)
+    o_t = o32.T.reshape(3, g * rows, LANES)
+    d_t = d32.T.reshape(3, g * rows, LANES)
+    tf_t = tf.reshape(g * rows, LANES)
     return o_t, d_t, tf_t, g
 
 
@@ -957,7 +965,7 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
 
 def traverse_closest_wide(
     o: Array, d: Array, chunks, t_min: float = T_MIN,
-    interpret: bool | None = None,
+    interpret: bool | None = None, rows: int = RAY_ROWS,
 ):
     """Closest hit over a list of WideBVH chunks (multi-pass, threaded
     best t — same exact semantics as traverse_closest_chunked)."""
@@ -967,7 +975,7 @@ def traverse_closest_wide(
     for wide in chunks:
         t, prim = _traverse_wide(
             o, d, best_t, wide, any_hit=False, t_min=t_min,
-            interpret=interpret,
+            interpret=interpret, rows=rows,
         )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
@@ -977,13 +985,14 @@ def traverse_closest_wide(
 
 def traverse_anyhit_wide(
     o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
-    interpret: bool | None = None,
+    interpret: bool | None = None, rows: int = RAY_ROWS,
 ):
     blocked = jnp.zeros((o.shape[0],), bool)
     for wide in chunks:
         tf = jnp.where(blocked, 0.0, t_far)
         _, prim = _traverse_wide(
-            o, d, tf, wide, any_hit=True, t_min=t_min, interpret=interpret
+            o, d, tf, wide, any_hit=True, t_min=t_min, interpret=interpret,
+            rows=rows,
         )
         blocked = blocked | (prim >= 0)
     return blocked

@@ -80,29 +80,82 @@ def _tile_perm(h: int, w: int, tile=None) -> "np.ndarray | None":
     return np.concatenate(tiles)
 
 
+def _tile_shape(h: int, w: int) -> "tuple[int, int] | None":
+    """(th, tw) square packet tile if the image tiles evenly, else None."""
+    import numpy as np
+
+    from blink.kernels.traverse_pallas import LANES, RAY_ROWS
+
+    n_pack = RAY_ROWS * LANES
+    side = int(np.sqrt(n_pack))
+    for th, tw in ((side, side), (RAY_ROWS, LANES)):
+        if th * tw == n_pack and h % th == 0 and w % tw == 0:
+            return th, tw
+    return None
+
+
+def tile_pixel_ids(h: int, w: int, th: int, tw: int) -> Array:
+    """Arithmetic tile-order pixel ids: entry q is the row-major pixel id
+    of the q-th ray when rays are laid out packet-tile by packet-tile.
+
+    Replaces the gather-by-permutation of generated rays (measured ~3 ms
+    per N-row gather on this chip — core.rows): generate_rays is keyed by
+    absolute pixel id, so feeding it THESE ids produces the tiled ray
+    order directly with pure elementwise index math."""
+    q = jnp.arange(h * w, dtype=jnp.uint32)
+    per_tile = th * tw
+    tile = q // per_tile
+    within = q % per_tile
+    ntc = w // tw
+    r = (tile // ntc) * th + within // tw
+    c = (tile % ntc) * tw + within % tw
+    return r * w + c
+
+
+def untile_image(acc: Array, h: int, w: int, th: int, tw: int) -> Array:
+    """Invert tile_pixel_ids ordering: (h*w, 3) tile-order -> (h, w, 3).
+
+    A reshape/transpose (layout change), not a gather/scatter — done once
+    per render, after spp accumulation."""
+    v = acc.reshape(h // th, w // tw, th, tw, 3)
+    return v.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
+
+
 def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
     """Accumulated (H, W, 3) radiance image. Jit-safe; cfg is static."""
     h, w, spp = cfg.height, cfg.width, cfg.spp
     key = jax.random.key(cfg.seed)
-    perm = _tile_perm(h, w) if getattr(backend, "name", "") == "pallas" else None
+    soft_mesh = cfg.soft_mesh and cfg.soft_sigma > 0
+    tile = (
+        _tile_shape(h, w)
+        if getattr(backend, "name", "") == "pallas" and not soft_mesh
+        else None
+    )
+    # Hoist the packed shading table build out of the spp/bounce loops
+    # (diff.hitrefine packs per-call otherwise — correct but repeated).
+    # geom_dirty (set by api.merge_params on vertex swaps) forces the
+    # in-jit rebuild even over a precomputed cache: the cache would be
+    # stale and would sever tri_verts gradients.
+    if (
+        scene.n_triangles > 0
+        and hasattr(backend, "shade")
+        and (backend.shade is None or scene.geom_dirty)
+    ):
+        from blink.scene.shade import pack_tri_shade
+
+        backend = backend.replace(shade=pack_tri_shade(scene.triangles))
+    pid = tile_pixel_ids(h, w, *tile) if tile is not None else None
 
     def one_sample(s):
         jitter = cfg.jitter and not cfg.deterministic
-        o, d, pkeys = generate_rays(scene.camera, h, w, key, s, jitter)
-        soft_hw = (h, w) if (cfg.soft_mesh and cfg.soft_sigma > 0) else None
-        if perm is not None:
-            # Permuted (pallas-tiled) rays are not in row-major pixel
-            # order; mesh soft coverage needs the image lattice, so it is
-            # only available on the unpermuted path.
-            li_t = render_rays(
-                o[perm], d[perm], pkeys[perm], scene, backend,
-                cfg.integrator, cfg.max_depth, cfg.deterministic,
-                cfg.compact, cfg.soft_sigma,
-            )
-            return jnp.zeros_like(li_t).at[perm].set(li_t)
+        o, d, pkeys = generate_rays(
+            scene.camera, h, w, key, s, jitter, pixel_id=pid
+        )
+        soft_hw = (h, w) if soft_mesh else None
         return render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
-            cfg.deterministic, cfg.compact, cfg.soft_sigma, soft_hw,
+            cfg.deterministic, cfg.compact, cfg.soft_sigma,
+            soft_hw if tile is None else None,
         )
 
     def body(s, acc):
@@ -114,7 +167,10 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
     acc = jax.lax.fori_loop(
         0, spp, body, jnp.zeros((h * w, 3), sample0.dtype)
     )
-    return (acc / spp).reshape(h, w, 3)
+    acc = acc / spp
+    if tile is not None:
+        return untile_image(acc, h, w, *tile)
+    return acc.reshape(h, w, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

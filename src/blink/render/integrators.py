@@ -40,18 +40,23 @@ DET_U2 = 0.5
 
 
 def _light_contrib(
-    scene: Scene, geom: HitGeom, backend, light: Array, u1: Array, u2: Array
+    scene: Scene, geom: HitGeom, backend, light: Array, u1: Array, u2: Array,
+    light_rows: Array | None = None,
 ) -> Array:
     """Shadow-ray-tested contribution of one sampled light point (pdf-area
     weighted, no light-choice factor)."""
-    p_l, n_l, pdf_area, mat_l = sample_light_point(scene, light, u1, u2)
+    from blink.core.rows import select_rows
+
+    p_l, n_l, pdf_area, mat_l = sample_light_point(
+        scene, light, u1, u2, rows=light_rows
+    )
     to_l = p_l - geom.p
     dist2 = vec.vdot(to_l, to_l)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
     wi = to_l / dist[..., None]
     cos_s = jnp.maximum(vec.vdot(geom.n, wi), 0.0)
     cos_l = jnp.abs(vec.vdot(n_l, wi))  # two-sided emitters
-    emit = scene.materials.emission[mat_l]
+    emit = select_rows(scene.materials.emission, mat_l)
 
     shadow_o = geom.p + geom.n * RAY_EPS
     t_far = jax.lax.stop_gradient(dist) * (1.0 - 1e-3)
@@ -76,10 +81,13 @@ def nee_direct(
     light sampled at a fixed interior point; a smooth, noise-free function
     of the scene parameters.
     """
+    from blink.sampling.lights import pack_light_rows
+
     n = geom.t.shape[0]
     if scene.n_lights == 0:
         return jnp.zeros((n, 3), jnp.float32)
     n_lights = scene.n_lights
+    light_rows = pack_light_rows(scene)
     if deterministic:
         # Static unroll: one shadow-ray pass PER LIGHT. Deterministic mode
         # exists for oracles/goldens/FD on few-light scenes; a many-light
@@ -96,14 +104,18 @@ def nee_direct(
         u2 = jnp.full((n,), DET_U2, jnp.float32)
         for l in range(n_lights):
             light = jnp.full((n,), l, jnp.int32)
-            total = total + _light_contrib(scene, geom, backend, light, u1, u2)
+            total = total + _light_contrib(
+                scene, geom, backend, light, u1, u2, light_rows
+            )
         return total
     bk = jax.vmap(lambda k: sampler.bounce_key(k, bounce))(keys)
     u = jax.vmap(lambda k: sampler.uniform(k, (3,), dim=0))(bk)
     light = jnp.minimum(
         jnp.asarray(u[:, 0] * n_lights, jnp.int32), n_lights - 1
     )
-    contrib = _light_contrib(scene, geom, backend, light, u[:, 1], u[:, 2])
+    contrib = _light_contrib(
+        scene, geom, backend, light, u[:, 1], u[:, 2], light_rows
+    )
     return contrib * n_lights  # 1 / P(choose light)
 
 
@@ -113,7 +125,7 @@ def li_direct(
 ) -> Array:
     """Emission + direct lighting (configs 1-2: BASELINE.json:7,8)."""
     hit = backend.intersect(o, d, scene)
-    geom = refine(o, d, hit, scene)
+    geom = refine(o, d, hit, scene, shade=getattr(backend, "shade", None))
     return geom.emission + nee_direct(
         scene, geom, keys, backend, bounce=0, deterministic=deterministic
     )
@@ -143,7 +155,7 @@ def li_path(
     def body(b, state):
         o, d, beta, radiance, alive, keys, ray_ix = state
         hit = backend.intersect(o, d, scene)
-        geom = refine(o, d, hit, scene)
+        geom = refine(o, d, hit, scene, shade=getattr(backend, "shade", None))
         alive = alive & geom.valid
 
         # Camera-visible emitters only (NEE covers indirect emitter hits).

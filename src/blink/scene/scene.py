@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from blink.core.struct import pytree_dataclass
+from blink.core.struct import pytree_dataclass, static_field
 from blink.core import vec
 
 Array = jnp.ndarray
@@ -70,6 +70,13 @@ class Scene:
     lights: Lights
     textures: Array  # (K, R, R, 3) f32 texture atlas (K may be 0)
     camera: Camera
+    #: Static flag set by api.merge_params whenever triangle geometry is
+    #: swapped (e.g. optimizing tri_verts). Render paths then rebuild the
+    #: packed shading table (scene.shade) in-jit from THIS scene instead
+    #: of trusting a backend's precomputed cache — which would be stale
+    #: AND would sever vertex gradients. Static (not a leaf): flipping it
+    #: retraces, which is exactly the intent.
+    geom_dirty: bool = static_field(default=False)
 
     @property
     def n_spheres(self) -> int:
