@@ -555,9 +555,10 @@ def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
 def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                       any_hit: bool, block_reads: bool = True,
-                      rows: int = RAY_ROWS):
+                      rows: int = RAY_ROWS, row_groups: int = ROW_GROUPS):
     """8-wide SMEM-node packet walk (see bvh.wide for the data layout and
     the design rationale). Per iteration: pop one wide node, slab-test all
     8 children (independent vector ops — the serial scalar chain is paid
@@ -567,8 +568,11 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
 
     rows: packet height (rays per packet = rows x 128). Smaller packets
     shrink the packet-union of visited nodes/leaves (less shared work per
-    ray) but amortize the scalar walk over fewer rays."""
-    groups = min(ROW_GROUPS, rows)
+    ray) but amortize the scalar walk over fewer rays.
+    row_groups: leaf-test culling granularity — each leaf is tested per
+    (rows/row_groups)-row group only when some ray in the group needs it.
+    More groups cut shared leaf work; each adds a branch per leaf visit."""
+    groups = min(row_groups, rows)
     GR = rows // groups
 
     def kernel(child_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref,
@@ -693,7 +697,8 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "t_min", "interpret", "rows")
+    jax.jit,
+    static_argnames=("any_hit", "t_min", "interpret", "rows", "row_groups"),
 )
 def _traverse_wide(
     o: Array,
@@ -704,18 +709,46 @@ def _traverse_wide(
     t_min: float = T_MIN,
     interpret: bool | None = None,
     rows: int = RAY_ROWS,
+    row_groups: int = ROW_GROUPS,
 ):
-    """pallas_call wrapper for the wide kernel. Node/perm tables ride in
-    SMEM (scalar memory) — the walk reads them with ~1-cycle scalar loads
-    instead of the VMEM row-load + roll + extract dance."""
-    interpret = _resolve_interpret(interpret)
-    o, d, t_far = jax.lax.stop_gradient((o, d, t_far))
-    wide = jax.lax.stop_gradient(wide)
+    """Single-chunk wrapper: pack rays -> packed kernel -> unpack."""
     n = o.shape[0]
     o_t, d_t, tf_t, g = _pack_rays(o, d, t_far, rows=rows)
+    t_out, prim_out = _traverse_wide_packed(
+        o_t, d_t, tf_t, wide, any_hit=any_hit, t_min=t_min,
+        interpret=interpret, rows=rows, row_groups=row_groups,
+    )
+    return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
+
+
+def _traverse_wide_packed(
+    o_t: Array,
+    d_t: Array,
+    tf_t: Array,
+    wide,
+    any_hit: bool = False,
+    t_min: float = T_MIN,
+    interpret: bool | None = None,
+    rows: int = RAY_ROWS,
+    row_groups: int = ROW_GROUPS,
+):
+    """pallas_call wrapper for the wide kernel on PRE-PACKED rays
+    (o_t/d_t (3, G*rows, 128), tf_t (G*rows, 128) — see _pack_rays).
+
+    Node/perm tables ride in SMEM (scalar memory) — the walk reads them
+    with ~1-cycle scalar loads instead of the VMEM row-load + roll +
+    extract dance. Chunked callers MUST use this form and keep the
+    best-t threading in packed layout: packing per chunk call costs ~3
+    un-fusable (N,3)->(3,N) relayout ops at ~2-3ms each on this chip —
+    at 9 chunks that fixed cost (~45ms/frame at 512^2) exceeded the
+    entire walk time."""
+    interpret = _resolve_interpret(interpret)
+    o_t, d_t, tf_t = jax.lax.stop_gradient((o_t, d_t, tf_t))
+    wide = jax.lax.stop_gradient(wide)
+    g = o_t.shape[1] // rows
     kernel = _make_kernel_wide(
         wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads,
-        rows=rows,
+        rows=rows, row_groups=row_groups,
     )
     ray3 = pl.BlockSpec(
         (3, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -749,7 +782,7 @@ def _traverse_wide(
         scratch_shapes=[pltpu.SMEM((wide.max_stack,), jnp.int32)],
         interpret=interpret,
     )(wide.child, wide.perm, o_t, d_t, tf_t, wide.trow)
-    return t_out.reshape(-1)[:n], prim_out.reshape(-1)[:n]
+    return t_out, prim_out
 
 
 def _pack_rays(o: Array, d: Array, t_far: Array, rows: int = RAY_ROWS):
@@ -948,54 +981,104 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
 
 def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
                        wide_leaf: int = 32, split_free: bool = False,
-                       block_reads: bool = False):
+                       block_reads: bool = False, uniform: bool = True):
     """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide).
 
     leaf_size is the BINARY SAH leaf (small = best tree quality); wide_leaf
     is the traversal leaf granularity chosen at collapse time (adaptive
-    subtree leafing — see bvh.wide.build_wide)."""
+    subtree leafing — see bvh.wide.build_wide).
+
+    uniform=True pads every chunk to identical static shapes
+    (n_wide/trow/max_stack maxima) so ONE compiled kernel serves all
+    chunks: without it a C-chunk scene costs C Mosaic compiles per
+    traversal variant (~25s each on the axon remote-compile path) and C
+    jit cache entries. Padding is dead weight only — appended nodes/rows
+    are unreachable (no parent slot references them; the per-chunk root
+    stays at node 0)."""
     from blink.bvh.wide import build_wide
 
-    return [
+    chunks = [
         build_wide(b, wide_leaf=wide_leaf, split_free=split_free,
                    block_reads=block_reads)
         for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
     ]
+    if uniform and len(chunks) > 1:
+        chunks = pad_chunks_uniform(chunks)
+    return chunks
+
+
+def pad_chunks_uniform(chunks):
+    """Pad a WideBVH list to shared static shapes (see build_chunked_wide)."""
+    n_wide = max(c.n_wide for c in chunks)
+    t_rows = max(c.trow.shape[0] for c in chunks)
+    stack = max(c.max_stack for c in chunks)
+    out = []
+    for c in chunks:
+        child = jnp.concatenate(
+            [c.child, jnp.zeros((n_wide * 64 - c.child.shape[0],),
+                                c.child.dtype)]
+        )
+        perm = jnp.concatenate(
+            [c.perm, jnp.zeros((n_wide * 8 - c.perm.shape[0],),
+                               c.perm.dtype)]
+        )
+        trow = jnp.concatenate(
+            [c.trow, jnp.zeros((t_rows - c.trow.shape[0], c.trow.shape[1]),
+                               c.trow.dtype)]
+        )
+        out.append(c.replace(child=child, perm=perm, trow=trow,
+                             n_wide=n_wide, max_stack=stack))
+    return out
 
 
 def traverse_closest_wide(
     o: Array, d: Array, chunks, t_min: float = T_MIN,
     interpret: bool | None = None, rows: int = RAY_ROWS,
+    row_groups: int = ROW_GROUPS,
 ):
     """Closest hit over a list of WideBVH chunks (multi-pass, threaded
-    best t — same exact semantics as traverse_closest_chunked)."""
+    best t — same exact semantics as traverse_closest_chunked).
+
+    Rays are packed to the kernel's (3, G*rows, 128) layout ONCE and the
+    running best t/prim are threaded between chunks in packed form: all
+    inter-chunk glue is then fusable elementwise, and the only relayout
+    ops are one pack + one unpack per frame (see _traverse_wide_packed)."""
     n = o.shape[0]
-    best_t = jnp.full((n,), T_MAX, jnp.float32)
-    best_prim = jnp.full((n,), -1, jnp.int32)
+    t_far = jnp.full((n,), T_MAX, jnp.float32)
+    o_t, d_t, tf_t, _ = _pack_rays(o, d, t_far, rows=rows)
+    best_t = tf_t
+    best_prim = jnp.full(tf_t.shape, -1, jnp.int32)
     for wide in chunks:
-        t, prim = _traverse_wide(
-            o, d, best_t, wide, any_hit=False, t_min=t_min,
-            interpret=interpret, rows=rows,
+        t, prim = _traverse_wide_packed(
+            o_t, d_t, best_t, wide, any_hit=False, t_min=t_min,
+            interpret=interpret, rows=rows, row_groups=row_groups,
         )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
         best_prim = jnp.where(better, prim, best_prim)
-    return jax.lax.stop_gradient(best_t), best_prim
+    return (
+        jax.lax.stop_gradient(best_t.reshape(-1)[:n]),
+        best_prim.reshape(-1)[:n],
+    )
 
 
 def traverse_anyhit_wide(
     o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
     interpret: bool | None = None, rows: int = RAY_ROWS,
 ):
-    blocked = jnp.zeros((o.shape[0],), bool)
+    """Any-hit over WideBVH chunks; packed-layout threading as in
+    traverse_closest_wide (blocked rays get t_far=0 -> all slabs fail)."""
+    n = o.shape[0]
+    o_t, d_t, tf_t, _ = _pack_rays(o, d, t_far, rows=rows)
+    blocked = jnp.zeros(tf_t.shape, bool)
     for wide in chunks:
-        tf = jnp.where(blocked, 0.0, t_far)
-        _, prim = _traverse_wide(
-            o, d, tf, wide, any_hit=True, t_min=t_min, interpret=interpret,
-            rows=rows,
+        tf = jnp.where(blocked, 0.0, tf_t)
+        _, prim = _traverse_wide_packed(
+            o_t, d_t, tf, wide, any_hit=True, t_min=t_min,
+            interpret=interpret, rows=rows,
         )
         blocked = blocked | (prim >= 0)
-    return blocked
+    return blocked.reshape(-1)[:n]
 
 
 def traverse_closest_chunked(
@@ -1009,20 +1092,19 @@ def traverse_closest_chunked(
     kernel) — the production pallas backend ships wide chunks."""
     from blink.bvh.wide import WideBVH
 
+    if chunks and isinstance(chunks[0], WideBVH):
+        # Packed-layout threading (one relayout per frame, not per chunk).
+        return traverse_closest_wide(
+            o, d, chunks, t_min=t_min, interpret=interpret
+        )
     n = o.shape[0]
     best_t = jnp.full((n,), T_MAX, jnp.float32)
     best_prim = jnp.full((n,), -1, jnp.int32)
     for packed in chunks:
-        if isinstance(packed, WideBVH):
-            t, prim = _traverse_wide(
-                o, d, best_t, packed, any_hit=False, t_min=t_min,
-                interpret=interpret,
-            )
-        else:
-            t, prim = _traverse_pallas(
-                o, d, best_t, packed, any_hit=False, t_min=t_min,
-                interpret=interpret, variant=variant,
-            )
+        t, prim = _traverse_pallas(
+            o, d, best_t, packed, any_hit=False, t_min=t_min,
+            interpret=interpret, variant=variant,
+        )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
         best_prim = jnp.where(better, prim, best_prim)
@@ -1035,20 +1117,18 @@ def traverse_anyhit_chunked(
 ):
     from blink.bvh.wide import WideBVH
 
+    if chunks and isinstance(chunks[0], WideBVH):
+        return traverse_anyhit_wide(
+            o, d, chunks, t_far, t_min=t_min, interpret=interpret
+        )
     blocked = jnp.zeros((o.shape[0],), bool)
     for packed in chunks:
         # Blocked rays get t_far=0: their packets' slab tests all fail.
         tf = jnp.where(blocked, 0.0, t_far)
-        if isinstance(packed, WideBVH):
-            _, prim = _traverse_wide(
-                o, d, tf, packed, any_hit=True, t_min=t_min,
-                interpret=interpret,
-            )
-        else:
-            _, prim = _traverse_pallas(
-                o, d, tf, packed, any_hit=True, t_min=t_min,
-                interpret=interpret,
-            )
+        _, prim = _traverse_pallas(
+            o, d, tf, packed, any_hit=True, t_min=t_min,
+            interpret=interpret,
+        )
         blocked = blocked | (prim >= 0)
     return blocked
 

@@ -58,11 +58,16 @@ def test_wide_parity_interpret():
     bvh = build_flat_bvh(tris)
     o, d = _random_rays(300, 12)
     t_ref, p_ref = traverse_closest(o, d, bvh)
-    t_w, p_w = traverse_closest_wide(o, d, chunks, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
-    )
-    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
+    # Sweep the packet-shape knobs (rows = packet height, row_groups =
+    # leaf-cull granularity): results must be identical for every shape.
+    for rows, rg in ((32, 4), (8, 4), (8, 8)):
+        t_w, p_w = traverse_closest_wide(
+            o, d, chunks, interpret=True, rows=rows, row_groups=rg
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
     t_far = jnp.full((300,), 5.0, jnp.float32)
     b_ref = traverse_anyhit(o, d, bvh, t_far)
     b_w = traverse_anyhit_wide(o, d, chunks, t_far, interpret=True)
