@@ -29,6 +29,14 @@ TARGET_RAYS_PER_S = 1e9
 
 
 def _fwd_bwd(scene, size: int):
+    """Differentiable-render throughput (BASELINE.json:2 headline shape).
+
+    Reports the full-geometry param set (albedo+emission+tri_verts — the
+    spec's "geometry, materials" surface), the materials-only set (the
+    common inverse-rendering case), and the forward-only render so the
+    bwd/fwd ratio is visible."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -41,18 +49,34 @@ def _fwd_bwd(scene, size: int):
         width=size, height=size, spp=1, integrator="direct", backend="pallas"
     )
     backend = make_backend("pallas", scene)
-    params = extract_params(scene, ("albedo", "emission", "tri_verts"))
     target = jnp.zeros((size, size, 3), jnp.float32)
 
-    import functools
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def fwd(params, scene, cfg, backend, target):
+        return loss_fn(params, scene, cfg, backend, target)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def vg(params, scene, cfg, backend, target):
         return jax.value_and_grad(loss_fn)(params, scene, cfg, backend, target)
 
-    dt = _time(lambda: vg(params, scene, cfg, backend, target))
     rays = size * size
-    return {"wall_s": dt, "rays_per_s_fwd_bwd": rays / dt, "image": [size, size]}
+    p_mat = extract_params(scene, ("albedo", "emission"))
+    p_geo = extract_params(scene, ("albedo", "emission", "tri_verts"))
+    dt_f = _time(lambda: fwd(p_mat, scene, cfg, backend, target))
+    dt_m = _time(lambda: vg(p_mat, scene, cfg, backend, target))
+    dt_g = _time(lambda: vg(p_geo, scene, cfg, backend, target))
+    return {
+        "wall_s": dt_g,
+        "rays_per_s_fwd_bwd": rays / dt_g,
+        "image": [size, size],
+        "fwd_only_wall_s": dt_f,
+        "bwd_over_fwd_geometry": dt_g / dt_f,
+        "materials_only": {
+            "wall_s": dt_m,
+            "rays_per_s_fwd_bwd": rays / dt_m,
+            "bwd_over_fwd": dt_m / dt_f,
+        },
+    }
 
 
 def _grad_allclose_probe():

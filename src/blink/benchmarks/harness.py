@@ -53,10 +53,16 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
 
     chunks = build_chunked_wide(scene.triangles)
     key = jax.random.key(0)
+    from blink.render.api import _tile_shape, tile_pixel_ids
+
+    tile = _tile_shape(size, size)
+    pid = tile_pixel_ids(size, size, *tile) if tile is not None else None
     o, d, _ = jax.jit(
-        lambda s: generate_rays(s.camera, size, size, key, 0, False)
+        lambda s: generate_rays(s.camera, size, size, key, 0, False,
+                                pixel_id=pid)
     )(scene)
-    o, d = tile_rays(o, d, size, size)
+    if tile is None:
+        o, d = tile_rays(o, d, size, size)
     f = jax.jit(lambda a, b: traverse_closest_chunked(a, b, chunks))
     dt = _time(lambda: f(o, d))
     n = size * size
@@ -174,7 +180,7 @@ def run_bench(config_name: str = "sponza", quick: bool = False) -> dict[str, Any
     return out
 
 
-def bench_scaling(max_devices: int = 8, size: int = 512) -> dict[str, Any]:
+def bench_scaling(max_devices: int = 8, size: int = 256) -> dict[str, Any]:
     """Sharded-renderer scaling points over 1/2/4/.. devices
     (BASELINE.json:5 'rays/s scaling measured at 1 chip, 1 host, N hosts').
 
@@ -196,9 +202,12 @@ def bench_scaling(max_devices: int = 8, size: int = 512) -> dict[str, Any]:
     # The FLAGSHIP path at a meaningful size (VERDICT r1 weak #4): sponza-
     # class mesh + SAH BVH traversal + NEE, not a dispatch-bound toy.
     # (Triangle count is trimmed so the host-side SAH build stays seconds.)
+    # Sized so the 4-config sweep finishes inside bench.py's subprocess
+    # timeout on a loaded host (the virtual-device points are sharding
+    # validation, not a throughput claim — see HONESTY NOTE).
     cfg = get_config("sponza").override(
         width=size, height=size, spp=1, deterministic=True, backend="bvh",
-        sponza_tris=50_000,
+        sponza_tris=20_000,
     )
     scene = build_scene(cfg)
     backend = make_backend("bvh", scene)

@@ -31,7 +31,6 @@ from blink.kernels.sphere import sphere_t
 from blink.kernels.triangle import triangle_tuv
 from blink.kernels.types import Hit, KIND_SPHERE, KIND_TRI, T_MAX, T_MIN
 from blink.scene.scene import Scene
-from blink.scene.shade import pack_tri_shade
 from blink.scene.textures import sample_texture
 
 Array = jnp.ndarray
@@ -69,10 +68,14 @@ def refine(
 
     o, d: (N,3) rays. hit: topology from any traversal backend. shade: the
     (T,16) packed triangle table (scene.shade) — precomputed by the
-    backend for static geometry, or built in-jit (differentiably) by the
-    caller when vertices are optimized. None -> packed here from
-    scene.triangles (always correct; callers hoist it out of spp/bounce
-    loops for speed). The result is exact for the primitive the traversal
+    backend for STATIC geometry (one wide row gather per refine, the fast
+    forward path). None = differentiable-geometry mode: triangle
+    attributes are fetched with per-ray narrow gathers from the live
+    vertex arrays instead. That is slower forward (~5 narrow N-row
+    gathers) but its autodiff transpose is 3 small (N,3)->(V,3)
+    scatter-adds — building a (T,16) table in-jit would transpose into
+    T-row scatters (T can be ~1M >> N) plus vertex scatters, several
+    times the cost. The result is exact for the primitive the traversal
     selected; misses produce zeroed fields with valid=False.
     """
     n_rays = o.shape[0]
@@ -114,24 +117,33 @@ def refine(
         mat = jnp.where(is_s, srow[:, 4].astype(jnp.int32), mat)
 
     if scene.n_triangles > 0:
-        if shade is None:
-            shade = pack_tri_shade(scene.triangles)
         tp = jnp.clip(prim, 0, scene.n_triangles - 1)
-        row = shade[tp]  # ONE wide gather for all triangle attributes
-        v0 = row[:, 0:3]
-        e1 = row[:, 3:6]
-        e2 = row[:, 6:9]
+        if shade is not None:
+            row = shade[tp]  # ONE wide gather for all triangle attributes
+            v0 = row[:, 0:3]
+            e1 = row[:, 3:6]
+            e2 = row[:, 6:9]
+            uv0, duv1, duv2 = row[:, 9:11], row[:, 11:13], row[:, 13:15]
+            mat_t = row[:, 15].astype(jnp.int32)
+        else:
+            # Differentiable-geometry mode: narrow per-ray gathers from
+            # the live arrays (backward = 3 (N,3)->(V,3) scatters).
+            tris = scene.triangles
+            i = jax.lax.stop_gradient(tris.idx[tp])
+            v0 = tris.verts[i[:, 0]]
+            e1 = tris.verts[i[:, 1]] - v0
+            e2 = tris.verts[i[:, 2]] - v0
+            uv0 = tris.uv[i[:, 0]]
+            duv1 = tris.uv[i[:, 1]] - uv0
+            duv2 = tris.uv[i[:, 2]] - uv0
+            mat_t = tris.material_id[tp]
         tt, bu, bv = triangle_tuv(o, d, v0, e1, e2, T_MIN)
         ng = vec.normalize(vec.cross(e1, e2))
-        uv_tri = (
-            row[:, 9:11]
-            + bu[..., None] * row[:, 11:13]
-            + bv[..., None] * row[:, 13:15]
-        )
+        uv_tri = uv0 + bu[..., None] * duv1 + bv[..., None] * duv2
         t = jnp.where(is_t, tt, t)
         nrm = jnp.where(is_t[..., None], ng, nrm)
         uv = jnp.where(is_t[..., None], uv_tri, uv)
-        mat = jnp.where(is_t, row[:, 15].astype(jnp.int32), mat)
+        mat = jnp.where(is_t, mat_t, mat)
 
     # Guard: if refinement disagrees with traversal (measure-zero edge),
     # treat as miss rather than produce garbage gradients.

@@ -47,17 +47,16 @@ def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> 
     key = jax.random.key(cfg.seed)
     pid0 = jnp.uint32(row0) * jnp.uint32(w)
     pixel_id = pid0 + jnp.arange(rows * w, dtype=jnp.uint32)
-    if (
-        scene.n_triangles > 0
-        and hasattr(backend, "shade")
-        and (backend.shade is None or scene.geom_dirty)
-    ):
-        from blink.scene.shade import pack_tri_shade
+    # Mirror render.api.render_image: stale-cache clearing (geom_dirty ->
+    # per-ray-gather differentiable mode) or one hoisted pack.
+    if scene.n_triangles > 0 and hasattr(backend, "shade"):
+        if scene.geom_dirty:
+            if backend.shade is not None:
+                backend = backend.replace(shade=None)
+        elif backend.shade is None:
+            from blink.scene.shade import pack_tri_shade
 
-        # Hoist the packed shading-table build out of the spp loop (see
-        # render.api.render_image; None or geom_dirty = rebuild in-jit
-        # from the live scene, the differentiable-geometry mode).
-        backend = backend.replace(shade=pack_tri_shade(scene.triangles))
+            backend = backend.replace(shade=pack_tri_shade(scene.triangles))
 
     def body(s, acc):
         jitter = cfg.jitter and not cfg.deterministic

@@ -143,18 +143,53 @@ def tile_pixel_ids(h: int, w: int, th: int, tw: int) -> Array:
     return r * w + c
 
 
-def untile_image(acc: Array, h: int, w: int, th: int, tw: int) -> Array:
+def untile_image(
+    acc: Array, h: int, w: int, th: int, tw: int, blk=None
+) -> Array:
     """Invert tile_pixel_ids ordering: (h*w, 3) tile-order -> (h, w, 3).
 
     A reshape/transpose (layout change), not a gather/scatter — done once
-    per render, after spp accumulation."""
-    blk = _block_shape(th, tw)
+    per render, after spp accumulation. blk overrides the cull-group
+    sub-block shape (used by the spp-interleaved layout)."""
+    blk = _block_shape(th, tw) if blk is None else blk
     if blk is None:
         v = acc.reshape(h // th, w // tw, th, tw, 3)
         return v.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
     bh, bw = blk
     v = acc.reshape(h // th, w // tw, th // bh, tw // bw, bh, bw, 3)
     return v.transpose(0, 2, 4, 1, 3, 5, 6).reshape(h, w, 3)
+
+
+def tile_pixel_ids_spp(h: int, w: int, sb: int):
+    """(pixel_id, sample_idx) for SPP-INTERLEAVED packets: each packet
+    carries 4096/sb pixels x sb spp-samples, and each 1024-ray cull group
+    (the hardware granularity — see _block_shape) carries a square
+    (1024/sb)-pixel patch x sb samples.
+
+    Samples of the SAME pixel follow near-identical paths through the
+    BVH, so trading pixels for samples inside a cull group shrinks the
+    group's node/leaf-visit union — the packet traversal cost per ray
+    drops at spp >= sb with no kernel change. Consecutive sb rays are the
+    sb samples of one pixel (fold with .reshape(-1, sb, 3).sum(1))."""
+    import numpy as np
+
+    n_pack, group = 32 * 128, 8 * 128
+    ps = int(np.sqrt(n_pack // sb))   # packet pixel-patch side
+    gs = int(np.sqrt(group // sb))    # cull-group pixel-patch side
+    assert ps * ps * sb == n_pack and gs * gs * sb == group
+    assert h % ps == 0 and w % ps == 0, (h, w, ps)
+    q = jnp.arange(h * w * sb, dtype=jnp.uint32)
+    tile = q // n_pack
+    within = q % n_pack
+    b = within // group
+    sub = within % group
+    p = sub // sb
+    s = sub % sb
+    nbc = ps // gs  # blocks per tile side (2 for the 4096/1024 split)
+    ntc = w // ps
+    r = (tile // ntc) * ps + (b // nbc) * gs + p // gs
+    c = (tile % ntc) * ps + (b % nbc) * gs + p % gs
+    return r * w + c, s
 
 
 def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
@@ -167,23 +202,35 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
         if getattr(backend, "name", "") == "pallas" and not soft_mesh
         else None
     )
-    # Hoist the packed shading table build out of the spp/bounce loops
-    # (diff.hitrefine packs per-call otherwise — correct but repeated).
-    # geom_dirty (set by api.merge_params on vertex swaps) forces the
-    # in-jit rebuild even over a precomputed cache: the cache would be
-    # stale and would sever tri_verts gradients.
-    if (
-        scene.n_triangles > 0
-        and hasattr(backend, "shade")
-        and (backend.shade is None or scene.geom_dirty)
-    ):
-        from blink.scene.shade import pack_tri_shade
+    # geom_dirty (set by api.merge_params on vertex swaps): a precomputed
+    # shade table would be stale AND would sever tri_verts gradients —
+    # clear it so diff.hitrefine takes the per-ray-gather path (narrow
+    # scatters in backward; see refine's docstring). Static geometry with
+    # no table yet: pack once here, hoisted out of the spp/bounce loops.
+    if scene.n_triangles > 0 and hasattr(backend, "shade"):
+        if scene.geom_dirty:
+            if backend.shade is not None:
+                backend = backend.replace(shade=None)
+        elif backend.shade is None:
+            from blink.scene.shade import pack_tri_shade
 
-        backend = backend.replace(shade=pack_tri_shade(scene.triangles))
-    pid = tile_pixel_ids(h, w, *tile) if tile is not None else None
+            backend = backend.replace(shade=pack_tri_shade(scene.triangles))
+    # SPP interleaving: at spp>=4 on the tiled pallas path, pack 4
+    # samples of each pixel into the same cull group (tile_pixel_ids_spp)
+    # — same per-(pixel,sample) RNG keys, so radiance values are
+    # identical to the per-sample loop; only the f32 accumulation
+    # association differs.
+    sb = 1
+    if tile is not None and spp % 4 == 0 and h % 32 == 0 and w % 32 == 0:
+        sb = 4
+    if sb > 1:
+        pid, sidx = tile_pixel_ids_spp(h, w, sb)
+    else:
+        pid = tile_pixel_ids(h, w, *tile) if tile is not None else None
+
+    jitter = cfg.jitter and not cfg.deterministic
 
     def one_sample(s):
-        jitter = cfg.jitter and not cfg.deterministic
         o, d, pkeys = generate_rays(
             scene.camera, h, w, key, s, jitter, pixel_id=pid
         )
@@ -194,14 +241,34 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
             soft_hw if tile is None else None,
         )
 
-    def body(s, acc):
-        return acc + one_sample(s)
+    def one_batch(bi):
+        o, d, pkeys = generate_rays(
+            scene.camera, h, w, key, sidx + jnp.uint32(bi * sb), jitter,
+            pixel_id=pid,
+        )
+        li = render_rays(
+            o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
+            cfg.deterministic, cfg.compact, cfg.soft_sigma, None,
+        )
+        return li.reshape(-1, sb, 3).sum(axis=1)
 
     # Accumulate in whatever dtype the pipeline produces (f32 normally; f64
     # end-to-end when the scene is cast for FD validation).
+    if sb > 1:
+        batch0 = jax.eval_shape(one_batch, jnp.int32(0))
+        acc = jax.lax.fori_loop(
+            0, spp // sb, lambda b, a: a + one_batch(b),
+            jnp.zeros((h * w, 3), batch0.dtype),
+        )
+        import numpy as np
+
+        ps = int(np.sqrt(32 * 128 // sb))
+        gs = int(np.sqrt(8 * 128 // sb))
+        return untile_image(acc / spp, h, w, ps, ps, blk=(gs, gs))
     sample0 = jax.eval_shape(one_sample, jnp.int32(0))
     acc = jax.lax.fori_loop(
-        0, spp, body, jnp.zeros((h * w, 3), sample0.dtype)
+        0, spp, lambda s, a: a + one_sample(s),
+        jnp.zeros((h * w, 3), sample0.dtype),
     )
     acc = acc / spp
     if tile is not None:

@@ -45,9 +45,14 @@ def generate_rays(
     if pixel_id is None:
         pixel_id = jnp.arange(height * width, dtype=jnp.uint32)
     n = pixel_id.shape[0]
-    pixel_keys = jax.vmap(lambda p: sampler.pixel_key(seed_key, p, sample_idx))(
-        pixel_id
+    # sample_idx may be a scalar (classic per-sample loop) or a per-ray
+    # array (spp-interleaved packets — render.api.tile_pixel_ids_spp).
+    sidx = jnp.broadcast_to(
+        jnp.asarray(sample_idx, jnp.uint32), pixel_id.shape
     )
+    pixel_keys = jax.vmap(
+        lambda p, s: sampler.pixel_key(seed_key, p, s)
+    )(pixel_id, sidx)
     if jitter:
         uv = jax.vmap(lambda k: sampler.uniform(k, (2,), dim=0))(pixel_keys)
         jx, jy = uv[:, 0], uv[:, 1]

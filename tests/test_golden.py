@@ -61,3 +61,28 @@ def test_cornell_matches_committed_golden():
     img = np.asarray(render(build_scene(cfg), cfg))
     close = np.isclose(img, golden, atol=1e-4)
     assert close.mean() > 0.999
+
+
+def test_spp_interleaved_matches_per_sample_loop():
+    """render.api's spp-interleaved packets (tile_pixel_ids_spp; active on
+    the tiled pallas path at spp>=4) use the SAME per-(pixel,sample) RNG
+    keys as the classic per-sample loop, so per-pixel radiance must match
+    to f32 accumulation-order noise. Compared against the brute backend,
+    which never takes the tiled path."""
+    from blink.kernels.api import make_backend
+    from blink.render.api import render_image
+    from blink.scene.builders import bunny_scene
+
+    scene = bunny_scene(2)
+    cfg = get_config("bunny").override(
+        width=64, height=64, spp=4, deterministic=False, seed=9
+    )
+    img_brute = np.asarray(
+        render_image(scene, cfg.override(backend="brute"),
+                     make_backend("brute", scene))
+    )
+    img_pallas = np.asarray(
+        render_image(scene, cfg.override(backend="pallas"),
+                     make_backend("pallas", scene))  # CPU -> interpret
+    )
+    np.testing.assert_allclose(img_pallas, img_brute, atol=2e-5)

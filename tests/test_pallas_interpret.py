@@ -52,26 +52,47 @@ def test_wide_parity_interpret():
         traverse_closest_wide,
     )
 
-    tris = _random_tris(3000, 11)
-    chunks = build_chunked_wide(tris, chunk_tris=1000)
-    assert len(chunks) == 3
+    tris = _random_tris(1600, 11)
+    chunks = build_chunked_wide(tris, chunk_tris=800)
+    assert len(chunks) == 2
     bvh = build_flat_bvh(tris)
     o, d = _random_rays(300, 12)
     t_ref, p_ref = traverse_closest(o, d, bvh)
-    # Sweep the packet-shape knobs (rows = packet height, row_groups =
-    # leaf-cull granularity): results must be identical for every shape.
-    for rows, rg in ((32, 4), (8, 4), (8, 8)):
-        t_w, p_w = traverse_closest_wide(
-            o, d, chunks, interpret=True, rows=rows, row_groups=rg
-        )
-        np.testing.assert_allclose(
-            np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
-        )
-        np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
+    t_w, p_w = traverse_closest_wide(o, d, chunks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
     t_far = jnp.full((300,), 5.0, jnp.float32)
     b_ref = traverse_anyhit(o, d, bvh, t_far)
     b_w = traverse_anyhit_wide(o, d, chunks, t_far, interpret=True)
     np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
+
+
+def test_wide_packet_shape_parity_interpret():
+    """Packet-shape knobs (rows = packet height, row_groups = leaf-cull
+    granularity) must not change results. Tiny scene: the interpreter
+    pays the while_loop per packet, so this sweep stays cheap."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_wide,
+        traverse_closest_wide,
+    )
+
+    tris = _random_tris(400, 21)
+    chunks = build_chunked_wide(tris)  # single tree
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(120, 22)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    # One non-default shape: interpret-mode cost is dominated by tracing
+    # the unrolled kernel body (~minutes per variant), so the sweep lives
+    # on-chip (benchmarks/stage_probe2.py) and CI checks one exemplar.
+    t_w, p_w = traverse_closest_wide(
+        o, d, chunks, interpret=True, rows=8, row_groups=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
 
 
 def test_chunked_parity_interpret():
