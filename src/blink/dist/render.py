@@ -43,10 +43,23 @@ def _shard_rows(cfg: RenderConfig, n_shards: int) -> int:
 
 def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> Array:
     """Render `rows` image rows starting at traced row index row0."""
+    from blink.render.api import _tile_shape, tile_pixel_ids, untile_image
+
     w = cfg.width
     key = jax.random.key(cfg.seed)
     pid0 = jnp.uint32(row0) * jnp.uint32(w)
-    pixel_id = pid0 + jnp.arange(rows * w, dtype=jnp.uint32)
+    # Packet-tile the shard's row block for the pallas backend (same
+    # square cull-group layout as render.api; row blocks are contiguous
+    # in the image, so local tile ids + pid0 are absolute pixel ids).
+    tile = (
+        _tile_shape(rows, w)
+        if getattr(backend, "name", "") == "pallas"
+        else None
+    )
+    if tile is not None:
+        pixel_id = pid0 + tile_pixel_ids(rows, w, *tile)
+    else:
+        pixel_id = pid0 + jnp.arange(rows * w, dtype=jnp.uint32)
     # Mirror render.api.render_image: stale-cache clearing (geom_dirty ->
     # per-ray-gather differentiable mode) or one hoisted pack.
     if scene.n_triangles > 0 and hasattr(backend, "shade"):
@@ -75,7 +88,10 @@ def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> 
     # manual-axes type.
     init = jax.lax.pcast(init, (AXIS,), to="varying")
     acc = jax.lax.fori_loop(0, cfg.spp, body, init)
-    return (acc / cfg.spp).reshape(rows, w, 3)
+    acc = acc / cfg.spp
+    if tile is not None:
+        return untile_image(acc, rows, w, *tile)
+    return acc.reshape(rows, w, 3)
 
 
 def dist_render(scene: Scene, cfg: RenderConfig, backend=None, mesh=None) -> Array:

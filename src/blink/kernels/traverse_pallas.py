@@ -893,6 +893,17 @@ def _vma_of(*xs):
     return frozenset(s)
 
 
+# NOTE (probed, jax 0.9 hlo_interpreter): pallas interpret mode under
+# shard_map only supports AXIS-VARYING kernel inputs when their block
+# slicing is trivial (replicated rays + varying whole-array tables, the
+# dist.scene_shard shape). Grid-blocked VARYING ray inputs fail vma
+# checking inside the interpreter's own dynamic_slice discharge, and
+# pcast-aligning the inputs cannot fix it (the interpreter's slice
+# indices are non-varying by construction) — it only breaks the
+# working replicated-ray case. The Mosaic (on-chip) path has no such
+# limitation; tests/tpu/test_dist_chip.py covers dist+pallas there.
+
+
 def _resolve_interpret(interpret):
     """interpret=None means auto: Mosaic on TPU, interpreter elsewhere.
 

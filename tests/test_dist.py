@@ -149,3 +149,13 @@ def test_scene_sharding_matches_replicated():
     bb = occluded_brute(o, d, sharded_scene, t_far)
     bs = occluded_scene_sharded(o, d, sharded_scene, t_far, mesh)
     np.testing.assert_array_equal(np.asarray(bs), np.asarray(bb))
+
+
+# NOTE: dist_render with the PALLAS backend cannot be covered on the CPU
+# mesh: jax's pallas HLO interpreter rejects grid-blocked kernels whose
+# ray inputs carry shard_map varying-manual-axes ("dynamic_slice requires
+# varying manual axes to match", jax hlo_interpreter.py:466 — framework
+# limitation, reproduced even at grid=1; the error text itself suggests
+# check_vma=False as a workaround, which would silence the vma machinery
+# dist relies on for gradient psum). The Mosaic path does not use that
+# interpreter; tests/tpu/test_dist_chip.py covers dist+pallas on-chip.
