@@ -54,7 +54,8 @@ def main() -> None:
     d = np.asarray(d)
     inv = 1.0 / d
     n = o.shape[0]
-    group = 1024
+    import os
+    group = int(os.environ.get("SIM_GROUP", "1024"))
 
     def walk_groups(child, g0, g1, best_t):
         """Walk one chunk for rays [g0,g1); returns delivered leaf tests
@@ -126,7 +127,7 @@ def main() -> None:
         ch = np.asarray(c.child)
         for g in gids:
             dlv, vis = walk_groups(ch, g * group, (g + 1) * group, best)
-            total_delivered += dlv * 1024  # every ray in group pays
+            total_delivered += dlv * group  # every ray in group pays
             total_visits += vis
     rays_covered = len(gids) * group
     n_groups = len(gids)

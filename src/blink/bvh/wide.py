@@ -59,6 +59,17 @@ class WideBVH:
     child: Array
     perm: Array
     trow: Array
+    #: row-gated leaf-test layout (the "row" leaf mode — see
+    #: traverse_pallas._make_kernel_wide): triangles of each leaf child
+    #: re-packed into 8-tri BATCHES with TRIS IN SUBLANES. Batch B lives
+    #: at tbat rows [8*(B//8), +8), lanes [16*(B%8), +16): per-tri lane
+    #: layout [v0(3) e1(3) e2(3) gid slot] (11 of 16 used; slot = the
+    #: child-local slot index, the tie-break key matching the sequential
+    #: kernel's first-slot-wins). bref[(node*8 + slot)] = first batch id
+    #: of that child's span (leaf children only; batches are ceil(cnt/8),
+    #: tail tris padded degenerate with gid -1/zero verts).
+    bref: Array = None
+    tbat: Array = None
     n_wide: int = static_field(default=0)
     leaf_size: int = static_field(default=4)
     max_stack: int = static_field(default=WIDE_STACK_CAP)
@@ -240,10 +251,45 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
         axis=1,
     )
 
+    # --- row-gated batch table (tris in sublanes; see WideBVH.tbat) -------
+    tv0 = np.asarray(bvh.tv0, np.float32)
+    te1 = np.asarray(bvh.te1, np.float32)
+    te2 = np.asarray(bvh.te2, np.float32)
+    tid = np.asarray(bvh.tri_id, np.float32)
+    bref = np.zeros((n_wide, WIDTH), np.int32)
+    tiles: list[np.ndarray] = []
+    for wid in range(n_wide):
+        for s, (k, r) in enumerate(zip(kids_of[wid], wide_ref[wid])):
+            if r >= 0:
+                continue  # internal child
+            f, c = int(sub_first[k]), int(sub_count[k])
+            if c <= 0:
+                continue
+            bref[wid, s] = len(tiles)
+            for b0 in range(0, c, 8):
+                tile = np.zeros((8, 16), np.float32)
+                tile[:, 9] = -1.0  # batch-tail pad: gid -1, zero verts
+                m = min(8, c - b0)
+                sl = slice(f + b0, f + b0 + m)
+                tile[:m, 0:3] = tv0[sl]
+                tile[:m, 3:6] = te1[sl]
+                tile[:m, 6:9] = te2[sl]
+                tile[:m, 9] = tid[sl]
+                tile[:m, 10] = np.arange(b0, b0 + m, dtype=np.float32)
+                tiles.append(tile)
+    nb = max(len(tiles), 1)
+    brows = -(-nb // 8) * 8
+    tbat = np.zeros((brows, 128), np.float32)
+    for B, tile in enumerate(tiles):
+        tbat[8 * (B // 8) : 8 * (B // 8) + 8,
+             16 * (B % 8) : 16 * (B % 8) + 16] = tile
+
     return WideBVH(
         child=jnp.asarray(child.reshape(n_wide * WIDTH * 8)),
         perm=jnp.asarray(perm.reshape(n_wide * WIDTH)),
         trow=jnp.asarray(trow),
+        bref=jnp.asarray(bref.reshape(n_wide * WIDTH)),
+        tbat=jnp.asarray(tbat),
         n_wide=n_wide,
         leaf_size=wide_leaf,
         max_stack=max_stack,

@@ -558,7 +558,8 @@ def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
 @functools.lru_cache(maxsize=None)
 def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                       any_hit: bool, block_reads: bool = True,
-                      rows: int = RAY_ROWS, row_groups: int = ROW_GROUPS):
+                      rows: int = RAY_ROWS, row_groups: int = ROW_GROUPS,
+                      leaf_mode: str = "group"):
     """8-wide SMEM-node packet walk (see bvh.wide for the data layout and
     the design rationale). Per iteration: pop one wide node, slab-test all
     8 children (independent vector ops — the serial scalar chain is paid
@@ -571,15 +572,43 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
     ray) but amortize the scalar walk over fewer rays.
     row_groups: leaf-test culling granularity — each leaf is tested per
     (rows/row_groups)-row group only when some ray in the group needs it.
-    More groups cut shared leaf work; each adds a branch per leaf visit."""
+    More groups cut shared leaf work; each adds a branch per leaf visit.
+    leaf_mode:
+      "group" — the static row-group gating above;
+      "row"   — ROW-GRANULAR gating (the big lever: benchmarks/union_sim
+        measured 803 leaf tests/ray delivered at 1024-ray granularity vs
+        220 at 128-ray granularity on the 200k scene). Per leaf visit,
+        the ids of NEEDING 128-ray rows are compacted into SMEM scratch
+        (one bitmask reduce + an unrolled scalar loop — no per-row
+        vector branches, which measured catastrophically slow), then a
+        dynamic fori over just those rows tests 8 TRIANGLES PER VECTOR
+        OP: each 8-tri batch is an (8,16) tile with tris in SUBLANES
+        (WideBVH.tbat), the row's rays broadcast across sublanes, one
+        _mt_tri evaluates 8 tris x 128 rays, and a cross-sublane min
+        with lowest-slot-on-tie reproduces the sequential kernel's
+        first-slot-wins semantics exactly."""
     groups = min(row_groups, rows)
     GR = rows // groups
+    MAX_BATCH = -(-leaf_size // 8)
 
     def kernel(child_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref,
-               t_out_ref, prim_out_ref, stack_ref):
+               *refs):
+        if leaf_mode == "row":
+            (bref_ref, tbat_ref, t_out_ref, prim_out_ref, stack_ref,
+             rowidx_ref) = refs
+        else:
+            t_out_ref, prim_out_ref, stack_ref = refs
+
         def read_tri(s):
             row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
             return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
+
+        if leaf_mode == "row":
+            #: (rows,1) per-sublane bit weights for the needing-rows mask.
+            rowbit = jnp.left_shift(
+                jnp.uint32(1),
+                jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0),
+            )
 
         ox = o_ref[0]
         oy = o_ref[1]
@@ -626,15 +655,132 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                     need = need & unblocked
                 ref = jnp.int32(child_ref[f + 6])
                 cnt = jnp.int32(child_ref[f + 7])
-                slots.append((jnp.any(need), need, ref, cnt))
+                slots.append((jnp.any(need), need, ref, cnt, c8))
 
+            if leaf_mode == "row":
+                _leaf_row(slots, node)
+            else:
+                _leaf_group(slots)
+
+            # Internal children: push far-to-near (near pops first).
+            for k in reversed(range(8)):
+                hit_k, need, ref, cnt, _c8 = slots[k]
+                push = hit_k & (cnt == 0) & (ref > 0)
+
+                @pl.when(push)
+                def _(ref=ref, sp=sp):
+                    stack_ref[sp] = ref
+
+                sp = jnp.where(push, sp + 1, sp)
+            if any_hit:
+                # Early exit once every ray is blocked (shadow semantics).
+                alive = jnp.any(prim_out_ref[...] < 0)
+            return sp, alive
+
+        def _leaf_row(slots, node):
+            """Row-granular leaf tests (see leaf_mode docstring)."""
+            for k in range(8):
+                hit_k, need, ref, cnt, c8 = slots[k]
+
+                @pl.when(hit_k & (cnt > 0))
+                def _(need=need, cnt=cnt, c8=c8):
+                    bb = bref_ref[node * 8 + c8]
+                    nb = (cnt + 7) // 8
+                    rowneed = jnp.any(need, axis=1, keepdims=True)
+                    bits = jnp.sum(
+                        jnp.where(rowneed, rowbit, jnp.uint32(0))
+                    )
+                    m = jnp.int32(0)
+                    for rr in range(rows):
+                        hit_r = ((bits >> jnp.uint32(rr))
+                                 & jnp.uint32(1)) > 0
+
+                        @pl.when(hit_r)
+                        def _(rr=rr, m=m):
+                            rowidx_ref[m] = jnp.int32(rr)
+
+                        m = jnp.where(hit_r, m + 1, m)
+
+                    def row_body(j, _):
+                        r = rowidx_ref[j]
+                        rox = jnp.broadcast_to(
+                            o_ref[0, pl.ds(r, 1), :], (8, LANES)
+                        )
+                        roy = jnp.broadcast_to(
+                            o_ref[1, pl.ds(r, 1), :], (8, LANES)
+                        )
+                        roz = jnp.broadcast_to(
+                            o_ref[2, pl.ds(r, 1), :], (8, LANES)
+                        )
+                        rdx = jnp.broadcast_to(
+                            d_ref[0, pl.ds(r, 1), :], (8, LANES)
+                        )
+                        rdy = jnp.broadcast_to(
+                            d_ref[1, pl.ds(r, 1), :], (8, LANES)
+                        )
+                        rdz = jnp.broadcast_to(
+                            d_ref[2, pl.ds(r, 1), :], (8, LANES)
+                        )
+                        cur_t = t_out_ref[pl.ds(r, 1), :]
+                        bt0 = jnp.broadcast_to(cur_t, (8, LANES))
+                        gid0 = jnp.full((8, LANES), -1.0, jnp.float32)
+                        sl0 = jnp.full((8, LANES), 1e9, jnp.float32)
+
+                        def batch_body(bi, carry):
+                            bt8, gid8, sl8 = carry
+                            B = bb + bi
+                            blk = tbat_ref[pl.ds(8 * (B // 8), 8), :]
+                            blk = pltpu.roll(
+                                blk, shift=-(B % 8) * 16, axis=1
+                            )
+                            t8 = _mt_tri(
+                                rox, roy, roz, rdx, rdy, rdz,
+                                blk[:, 0:1], blk[:, 1:2], blk[:, 2:3],
+                                blk[:, 3:4], blk[:, 4:5], blk[:, 5:6],
+                                blk[:, 6:7], blk[:, 7:8], blk[:, 8:9],
+                                t_min, bt8,
+                            )
+                            win = t8 < bt8
+                            bt8 = jnp.where(win, t8, bt8)
+                            gid8 = jnp.where(win, blk[:, 9:10], gid8)
+                            sl8 = jnp.where(win, blk[:, 10:11], sl8)
+                            return bt8, gid8, sl8
+
+                        bt8, gid8, sl8 = jax.lax.fori_loop(
+                            0, nb, batch_body, (bt0, gid0, sl0)
+                        )
+                        tmin = jnp.min(bt8, axis=0, keepdims=True)
+                        is_min = bt8 <= tmin
+                        sl_sel = jnp.min(
+                            jnp.where(is_min, sl8, 1e9),
+                            axis=0, keepdims=True,
+                        )
+                        gid_sel = jnp.min(
+                            jnp.where(
+                                is_min & (sl8 <= sl_sel), gid8, 1e9
+                            ),
+                            axis=0, keepdims=True,
+                        )
+                        better = tmin < cur_t
+                        t_out_ref[pl.ds(r, 1), :] = jnp.where(
+                            better, tmin, cur_t
+                        )
+                        cur_p = prim_out_ref[pl.ds(r, 1), :]
+                        prim_out_ref[pl.ds(r, 1), :] = jnp.where(
+                            better, gid_sel.astype(jnp.int32), cur_p
+                        )
+                        return 0
+
+                    jax.lax.fori_loop(0, m, row_body, 0)
+
+        def _leaf_group(slots):
             # Leaf children: tested at the parent visit (no stack traffic).
             # Triangle records are read in blocks of 8 slots, each block
             # gated on cnt reaching it — the adaptive collapse (bvh.wide)
             # produces many short leaves, and ungated unrolls would pay
             # leaf_size row-load+rolls per visit regardless of cnt.
             for k in range(8):
-                hit_k, need, ref, cnt = slots[k]
+                hit_k, need, ref, cnt, _c8 = slots[k]
 
                 @pl.when(hit_k & (cnt > 0))
                 def _(need=need, ref=ref, cnt=cnt):
@@ -676,21 +822,6 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                                     t_out_ref[rs] = bt
                                     prim_out_ref[rs] = pr
 
-            # Internal children: push far-to-near (near pops first).
-            for k in reversed(range(8)):
-                hit_k, need, ref, cnt = slots[k]
-                push = hit_k & (cnt == 0) & (ref > 0)
-
-                @pl.when(push)
-                def _(ref=ref, sp=sp):
-                    stack_ref[sp] = ref
-
-                sp = jnp.where(push, sp + 1, sp)
-            if any_hit:
-                # Early exit once every ray is blocked (shadow semantics).
-                alive = jnp.any(prim_out_ref[...] < 0)
-            return sp, alive
-
         jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(True)))
 
     return kernel
@@ -731,6 +862,7 @@ def _traverse_wide_packed(
     interpret: bool | None = None,
     rows: int = RAY_ROWS,
     row_groups: int = ROW_GROUPS,
+    leaf_mode: str = "group",
 ):
     """pallas_call wrapper for the wide kernel on PRE-PACKED rays
     (o_t/d_t (3, G*rows, 128), tf_t (G*rows, 128) — see _pack_rays).
@@ -746,9 +878,12 @@ def _traverse_wide_packed(
     o_t, d_t, tf_t = jax.lax.stop_gradient((o_t, d_t, tf_t))
     wide = jax.lax.stop_gradient(wide)
     g = o_t.shape[1] // rows
+    if leaf_mode == "row" and wide.bref is None:
+        raise ValueError("leaf_mode='row' needs a WideBVH built with "
+                         "bref/tbat (rebuild with current bvh.wide)")
     kernel = _make_kernel_wide(
         wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads,
-        rows=rows, row_groups=row_groups,
+        rows=rows, row_groups=row_groups, leaf_mode=leaf_mode,
     )
     ray3 = pl.BlockSpec(
         (3, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -762,26 +897,36 @@ def _traverse_wide_packed(
             arr.shape, lambda i: (0,) * arr.ndim, memory_space=space
         )
 
+    in_specs = [
+        whole(wide.child, pltpu.SMEM),
+        whole(wide.perm, pltpu.SMEM),
+        ray3,
+        ray3,
+        ray1,
+        whole(wide.trow, pltpu.VMEM),
+    ]
+    inputs = [wide.child, wide.perm, o_t, d_t, tf_t, wide.trow]
+    scratch = [pltpu.SMEM((wide.max_stack,), jnp.int32)]
+    if leaf_mode == "row":
+        in_specs += [
+            whole(wide.bref, pltpu.SMEM),
+            whole(wide.tbat, pltpu.VMEM),
+        ]
+        inputs += [wide.bref, wide.tbat]
+        scratch.append(pltpu.SMEM((rows,), jnp.int32))  # rowidx scratch
     vma = _vma_of(o_t, d_t, tf_t, wide.child, wide.trow)
     t_out, prim_out = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[
-            whole(wide.child, pltpu.SMEM),
-            whole(wide.perm, pltpu.SMEM),
-            ray3,
-            ray3,
-            ray1,
-            whole(wide.trow, pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(ray1, ray1),
         out_shape=(
             jax.ShapeDtypeStruct((g * rows, LANES), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((g * rows, LANES), jnp.int32, vma=vma),
         ),
-        scratch_shapes=[pltpu.SMEM((wide.max_stack,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(wide.child, wide.perm, o_t, d_t, tf_t, wide.trow)
+    )(*inputs)
     return t_out, prim_out
 
 
@@ -1023,6 +1168,9 @@ def pad_chunks_uniform(chunks):
     n_wide = max(c.n_wide for c in chunks)
     t_rows = max(c.trow.shape[0] for c in chunks)
     stack = max(c.max_stack for c in chunks)
+    b_rows = max(
+        (c.tbat.shape[0] for c in chunks if c.tbat is not None), default=0
+    )
     out = []
     for c in chunks:
         child = jnp.concatenate(
@@ -1037,15 +1185,25 @@ def pad_chunks_uniform(chunks):
             [c.trow, jnp.zeros((t_rows - c.trow.shape[0], c.trow.shape[1]),
                                c.trow.dtype)]
         )
+        kw = {}
+        if c.bref is not None:
+            kw["bref"] = jnp.concatenate(
+                [c.bref, jnp.zeros((n_wide * 8 - c.bref.shape[0],),
+                                   c.bref.dtype)]
+            )
+            kw["tbat"] = jnp.concatenate(
+                [c.tbat, jnp.zeros((b_rows - c.tbat.shape[0],
+                                    c.tbat.shape[1]), c.tbat.dtype)]
+            )
         out.append(c.replace(child=child, perm=perm, trow=trow,
-                             n_wide=n_wide, max_stack=stack))
+                             n_wide=n_wide, max_stack=stack, **kw))
     return out
 
 
 def traverse_closest_wide(
     o: Array, d: Array, chunks, t_min: float = T_MIN,
     interpret: bool | None = None, rows: int = RAY_ROWS,
-    row_groups: int = ROW_GROUPS,
+    row_groups: int = ROW_GROUPS, leaf_mode: str = "group",
 ):
     """Closest hit over a list of WideBVH chunks (multi-pass, threaded
     best t — same exact semantics as traverse_closest_chunked).
@@ -1063,6 +1221,7 @@ def traverse_closest_wide(
         t, prim = _traverse_wide_packed(
             o_t, d_t, best_t, wide, any_hit=False, t_min=t_min,
             interpret=interpret, rows=rows, row_groups=row_groups,
+            leaf_mode=leaf_mode,
         )
         better = prim >= 0
         best_t = jnp.where(better, t, best_t)
@@ -1076,6 +1235,7 @@ def traverse_closest_wide(
 def traverse_anyhit_wide(
     o: Array, d: Array, chunks, t_far: Array, t_min: float = T_MIN,
     interpret: bool | None = None, rows: int = RAY_ROWS,
+    leaf_mode: str = "group",
 ):
     """Any-hit over WideBVH chunks; packed-layout threading as in
     traverse_closest_wide (blocked rays get t_far=0 -> all slabs fail)."""
@@ -1086,7 +1246,7 @@ def traverse_anyhit_wide(
         tf = jnp.where(blocked, 0.0, tf_t)
         _, prim = _traverse_wide_packed(
             o_t, d_t, tf, wide, any_hit=True, t_min=t_min,
-            interpret=interpret, rows=rows,
+            interpret=interpret, rows=rows, leaf_mode=leaf_mode,
         )
         blocked = blocked | (prim >= 0)
     return blocked.reshape(-1)[:n]

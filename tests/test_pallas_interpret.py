@@ -119,3 +119,33 @@ def test_chunked_parity_interpret():
     b_ref = traverse_anyhit(o, d, bvh, t_far)
     b_ch = traverse_anyhit_chunked(o, d, chunks, t_far, interpret=True)
     np.testing.assert_array_equal(np.asarray(b_ch), np.asarray(b_ref))
+
+
+def test_wide_rowgate_parity_interpret():
+    """leaf_mode='row' (row-granular gating, 8-tris-in-sublanes batches —
+    the union_sim-motivated kernel) == reference, closest and anyhit,
+    chunked. One small exemplar: interpret cost is tracing-dominated."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_wide,
+        traverse_anyhit_wide,
+        traverse_closest_wide,
+    )
+
+    tris = _random_tris(900, 31)
+    chunks = build_chunked_wide(tris, chunk_tris=450)
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(140, 32)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_w, p_w = traverse_closest_wide(
+        o, d, chunks, interpret=True, rows=8, leaf_mode="row"
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
+    t_far = jnp.full((140,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_w = traverse_anyhit_wide(
+        o, d, chunks, t_far, interpret=True, rows=8, leaf_mode="row"
+    )
+    np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
