@@ -1163,6 +1163,19 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
     return chunks
 
 
+def _default_leaf_mode(wide) -> str:
+    """Production leaf mode for the chunked dispatchers. 'group' is the
+    measured-safe default; BLINK_LEAF_MODE=row opts into the
+    row-granular kernel (requires bref/tbat — silently falls back for
+    old-format WideBVH pytrees)."""
+    import os
+
+    mode = os.environ.get("BLINK_LEAF_MODE", "group")
+    if mode == "row" and getattr(wide, "bref", None) is None:
+        return "group"
+    return mode
+
+
 def pad_chunks_uniform(chunks):
     """Pad a WideBVH list to shared static shapes (see build_chunked_wide)."""
     n_wide = max(c.n_wide for c in chunks)
@@ -1266,7 +1279,8 @@ def traverse_closest_chunked(
     if chunks and isinstance(chunks[0], WideBVH):
         # Packed-layout threading (one relayout per frame, not per chunk).
         return traverse_closest_wide(
-            o, d, chunks, t_min=t_min, interpret=interpret
+            o, d, chunks, t_min=t_min, interpret=interpret,
+            leaf_mode=_default_leaf_mode(chunks[0]),
         )
     n = o.shape[0]
     best_t = jnp.full((n,), T_MAX, jnp.float32)
@@ -1290,7 +1304,8 @@ def traverse_anyhit_chunked(
 
     if chunks and isinstance(chunks[0], WideBVH):
         return traverse_anyhit_wide(
-            o, d, chunks, t_far, t_min=t_min, interpret=interpret
+            o, d, chunks, t_far, t_min=t_min, interpret=interpret,
+            leaf_mode=_default_leaf_mode(chunks[0]),
         )
     blocked = jnp.zeros((o.shape[0],), bool)
     for packed in chunks:
