@@ -121,10 +121,56 @@ def _grad_allclose_probe():
     return {"pass": bool(ok), "worst_rel_err": float(worst), "param": "albedo"}
 
 
+def _ensure_accelerator() -> str:
+    """Probe the configured backend with a deadline; fall back to CPU.
+
+    The axon relay has died mid-round before (port 8113 closed: backend
+    init raises UNAVAILABLE, or a stale device claim silently blocks the
+    first op for many minutes). A bench that crashes or hangs records
+    nothing — better to emit an honestly-labeled CPU number. The probe
+    runs in a SUBPROCESS: a hung device claim cannot be interrupted
+    in-process (the block is inside a C call)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.jit(lambda x: x * 2)(jnp.ones(4)).block_until_ready();"
+            "print('BACKEND=' + jax.default_backend())")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=int(os.environ.get("BLINK_BENCH_PROBE_S", "600")),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("BACKEND="):
+                return line.split("=", 1)[1]
+        raise RuntimeError(out.stderr[-200:])
+    except Exception as e:
+        sys.stderr.write(f"accelerator probe failed ({e!r}); CPU fallback\n")
+        os.execve(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__)],
+            {**os.environ, "JAX_PLATFORMS": "cpu",
+             "BLINK_BENCH_CPU_FALLBACK": "1",
+             "PYTHONPATH": ""},
+        )
+        raise  # unreachable
+
+
 def main() -> int:
     n_tris = int(os.environ.get("BLINK_BENCH_TRIS", "1000000"))
     size = int(os.environ.get("BLINK_BENCH_SIZE", "1024"))
     fast = os.environ.get("BLINK_BENCH_FAST", "") == "1"
+    if os.environ.get("BLINK_BENCH_CPU_FALLBACK") == "1":
+        # re-exec'd by _ensure_accelerator: shrink to CPU-feasible sizes.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback(accelerator unavailable)"
+        n_tris = min(n_tris, 50_000)
+        size = min(size, 256)
+        fast = True
+    else:
+        platform = _ensure_accelerator()
 
     from blink.api import build_scene
     from blink.benchmarks.harness import bench_primary_traversal, roofline
@@ -134,6 +180,7 @@ def main() -> int:
     scene = build_scene(cfg)
     fwd = bench_primary_traversal(scene, size)
     detail = {
+        "platform": platform,
         "n_triangles": scene.n_triangles,
         "image": [size, size],
         "wall_s": fwd["wall_s"],

@@ -51,7 +51,6 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
     )
     from blink.render.camera import generate_rays
 
-    chunks = build_chunked_wide(scene.triangles)
     key = jax.random.key(0)
     from blink.render.api import _tile_shape, tile_pixel_ids
 
@@ -61,9 +60,21 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
         lambda s: generate_rays(s.camera, size, size, key, 0, False,
                                 pixel_id=pid)
     )(scene)
-    if tile is None:
-        o, d = tile_rays(o, d, size, size)
-    f = jax.jit(lambda a, b: traverse_closest_chunked(a, b, chunks))
+    if jax.default_backend() == "tpu":
+        chunks = build_chunked_wide(scene.triangles)
+        if tile is None:
+            o, d = tile_rays(o, d, size, size)
+        f = jax.jit(lambda a, b: traverse_closest_chunked(a, b, chunks))
+        n_chunks = len(chunks)
+    else:
+        # CPU fallback (accelerator outage): the interpret-mode Pallas
+        # kernels would take hours — measure the pure-JAX traversal.
+        from blink.bvh import build_flat_bvh
+        from blink.kernels.traverse import traverse_closest
+
+        bvh = build_flat_bvh(scene.triangles)
+        f = jax.jit(lambda a, b: traverse_closest(a, b, bvh))
+        n_chunks = 1
     dt = _time(lambda: f(o, d))
     n = size * size
     t, prim = f(o, d)
@@ -72,7 +83,7 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
         "rays": n,
         "rays_per_s": n / dt,
         "hit_fraction": float(jnp.mean(prim >= 0)),
-        "n_chunks": len(chunks),
+        "n_chunks": n_chunks,
     }
 
 
