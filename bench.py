@@ -211,12 +211,22 @@ def main() -> int:
             )
             detail["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # never fail the headline on the side dish
-            detail["scaling"] = {"error": str(e)[:200]}
+            detail["scaling"] = {
+                "skipped": True,
+                "reason": f"{type(e).__name__}: {str(e)[:160]}",
+            }
+    degraded = os.environ.get("BLINK_BENCH_CPU_FALLBACK") == "1"
+    # The metric NAME must stay honest when the fallback shrinks the
+    # workload (VERDICT r2 weak #2): a 46k-tri CPU run is not the 1M-tri
+    # chip headline and must not be recorded under its name.
+    metric = ("primary_rays_per_sec_fwd_cpu_fallback" if degraded
+              else "primary_rays_per_sec_fwd_1mtri")
     result = {
-        "metric": "primary_rays_per_sec_fwd_1mtri",
+        "metric": metric,
         "value": fwd["rays_per_s"],
         "unit": "rays/s/chip",
         "vs_baseline": fwd["rays_per_s"] / TARGET_RAYS_PER_S,
+        "degraded": degraded,
         "detail": detail,
     }
     print(json.dumps(result))

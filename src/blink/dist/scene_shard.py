@@ -252,12 +252,21 @@ def intersect_chunks_sharded(
             better = prim >= 0
             best_t = jnp.where(better, t, best_t)
             best_prim = jnp.where(better, prim, best_prim)
+        # Tie-break exactly like the replicated traverse_closest_chunked
+        # reference: chunks are assigned to shards in CONTIGUOUS ASCENDING
+        # order and the per-shard loop only replaces on strict improvement,
+        # so "earliest chunk wins" == "lowest shard index among t-ties,
+        # then that shard's (unique) hit". A min-prim tie-break would
+        # diverge from the reference on coincident duplicate triangles
+        # straddling a chunk boundary (ADVICE r2).
         t_min = jax.lax.pmin(best_t, AXIS)
-        code = jnp.where(
-            (best_prim >= 0) & (best_t <= t_min), best_prim, jnp.int32(2**30)
-        )
-        code_min = jax.lax.pmin(code, AXIS)
-        prim = jnp.where(code_min < 2**30, code_min, -1)
+        tied = (best_prim >= 0) & (best_t <= t_min)
+        big = jnp.int32(2**30)
+        sidx = jax.lax.axis_index(AXIS)
+        s_min = jax.lax.pmin(jnp.where(tied, sidx, big), AXIS)
+        pcode = jnp.where(tied & (sidx == s_min), best_prim, big)
+        code_min = jax.lax.pmin(pcode, AXIS)
+        prim = jnp.where(code_min < big, code_min, -1)
         return t_min, prim
 
     fn = jax.shard_map(
