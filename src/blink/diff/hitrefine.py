@@ -61,6 +61,36 @@ def material_table(scene: Scene) -> Array:
     )
 
 
+@jax.custom_vjp
+def _gather_tri_verts(verts: Array, i: Array):
+    """Fetch the 3 vertex rows of each hit triangle: (V,3),(N,3)i32 ->
+    3x(N,3).
+
+    Forward is the plain triple gather. The custom VJP exists for the
+    BACKWARD: plain AD transposes each gather separately — three
+    (N,3)->(V,3) scatter-adds, each paying the full TPU scatter cost
+    (measured ~24 ms per 262k-row scatter on the axon v5e,
+    benchmarks/dispatch_probe.py). Here the three are batched into ONE
+    segment_sum over the concatenated (3N,) index space: identical sums
+    (scatter-add is order-independent), two fewer scatter launches
+    (VERDICT r2 #4)."""
+    return verts[i[:, 0]], verts[i[:, 1]], verts[i[:, 2]]
+
+
+def _gather_tri_verts_fwd(verts, i):
+    return _gather_tri_verts(verts, i), (i, verts.shape[0])
+
+
+def _gather_tri_verts_bwd(res, g):
+    i, n_verts = res
+    idx = jnp.concatenate([i[:, 0], i[:, 1], i[:, 2]])
+    val = jnp.concatenate([g[0], g[1], g[2]], axis=0)
+    return jax.ops.segment_sum(val, idx, num_segments=n_verts), None
+
+
+_gather_tri_verts.defvjp(_gather_tri_verts_fwd, _gather_tri_verts_bwd)
+
+
 def refine(
     o: Array, d: Array, hit: Hit, scene: Scene, shade: Array | None = None
 ) -> HitGeom:
@@ -130,9 +160,9 @@ def refine(
             # the live arrays (backward = 3 (N,3)->(V,3) scatters).
             tris = scene.triangles
             i = jax.lax.stop_gradient(tris.idx[tp])
-            v0 = tris.verts[i[:, 0]]
-            e1 = tris.verts[i[:, 1]] - v0
-            e2 = tris.verts[i[:, 2]] - v0
+            v0, v1, v2 = _gather_tri_verts(tris.verts, i)
+            e1 = v1 - v0
+            e2 = v2 - v0
             uv0 = tris.uv[i[:, 0]]
             duv1 = tris.uv[i[:, 1]] - uv0
             duv2 = tris.uv[i[:, 2]] - uv0

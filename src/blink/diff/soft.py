@@ -141,12 +141,24 @@ def _tri_geom(o: Array, d: Array, scene: Scene, prim: Array, t_plane: Array,
 def _mesh_soft_radiance(
     o: Array, d: Array, keys: Array, scene: Scene, backend,
     deterministic: bool, sigma: float, hw: tuple[int, int], hit,
+    residual_radiance: Array | None = None,
 ) -> Array:
     """SoftRas-lite soft radiance over neighbor-candidate triangles.
 
     hit: the hard topology (backend.intersect output, already computed by
     the hard pass). Rays MUST be in row-major (h, w) pixel order. `sigma`
-    is the silhouette band half-width in PIXELS (~0.5-1.5)."""
+    is the silhouette band half-width in PIXELS (~0.5-1.5).
+
+    residual_radiance: what LEFTOVER transmittance sees after all
+    candidate layers — pass the ray's HARD radiance. With a black
+    residual (None), INTERIOR mesh edges (coplanar triangle pairs, e.g.
+    a quad's diagonal) leave (1-a_A)(1-a_B) ~ 25% of the pixel seeing
+    black: a phantom dark seam whose position moves with camera/geometry,
+    injecting phantom visibility flux along every interior edge (measured:
+    cam_look_at soft-AD -89 vs FD 0.21 on the Cornell scene). With the
+    hard radiance as residual, interior edges reconstruct exactly
+    (a*L + (1-a)*L = L) while true silhouettes are unaffected (their
+    behind-layer candidate already absorbs the transmittance)."""
     from blink.kernels.types import KIND_TRI
 
     h, w = hw
@@ -239,7 +251,9 @@ def _mesh_soft_radiance(
         wgt = trans * A[:, k]
         soft = soft + wgt[:, None] * l_k
         trans = trans * (1.0 - A[:, k])
-    return soft  # residual transmittance sees the black environment
+    if residual_radiance is not None:
+        soft = soft + trans[:, None] * residual_radiance
+    return soft  # else: residual transmittance sees the black environment
 
 
 def li_direct_soft(
@@ -278,7 +292,8 @@ def li_direct_soft(
     if hw is not None and scene.n_triangles > 0:
         hit = backend.intersect(o, d, scene)
         soft_m = _mesh_soft_radiance(
-            o, d, keys, scene, backend, deterministic, sigma, hw, hit
+            o, d, keys, scene, backend, deterministic, sigma, hw, hit,
+            residual_radiance=hard,
         )
         out = out + (soft_m - jax.lax.stop_gradient(soft_m))
     return out

@@ -723,11 +723,8 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                         )
                         cur_t = t_out_ref[pl.ds(r, 1), :]
                         bt0 = jnp.broadcast_to(cur_t, (8, LANES))
-                        gid0 = jnp.full((8, LANES), -1.0, jnp.float32)
-                        sl0 = jnp.full((8, LANES), 1e9, jnp.float32)
 
-                        def batch_body(bi, carry):
-                            bt8, gid8, sl8 = carry
+                        def mt_batch(bi, bt8):
                             B = bb + bi
                             blk = tbat_ref[pl.ds(8 * (B // 8), 8), :]
                             blk = pltpu.roll(
@@ -740,6 +737,36 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                                 blk[:, 6:7], blk[:, 7:8], blk[:, 8:9],
                                 t_min, bt8,
                             )
+                            return t8, blk
+
+                        if any_hit:
+                            # Shadow semantics need only a BOOLEAN: skip the
+                            # winner/tie-break machinery (3 wheres per batch
+                            # + 3 cross-sublane reduces) and never shrink
+                            # t_out — blocked lanes leave the walk through
+                            # the `unblocked` gate, and a hit against the
+                            # original t_far is exactly "occluded".
+                            def batch_body(bi, hit):
+                                t8, _ = mt_batch(bi, bt0)
+                                return hit | (t8 < bt0)
+
+                            hit8 = jax.lax.fori_loop(
+                                0, nb, batch_body,
+                                jnp.zeros((8, LANES), bool),
+                            )
+                            hit_any = jnp.any(hit8, axis=0, keepdims=True)
+                            cur_p = prim_out_ref[pl.ds(r, 1), :]
+                            prim_out_ref[pl.ds(r, 1), :] = jnp.where(
+                                hit_any, jnp.int32(1), cur_p
+                            )
+                            return 0
+
+                        gid0 = jnp.full((8, LANES), -1.0, jnp.float32)
+                        sl0 = jnp.full((8, LANES), 1e9, jnp.float32)
+
+                        def batch_body(bi, carry):
+                            bt8, gid8, sl8 = carry
+                            t8, blk = mt_batch(bi, bt8)
                             win = t8 < bt8
                             bt8 = jnp.where(win, t8, bt8)
                             gid8 = jnp.where(win, blk[:, 9:10], gid8)

@@ -168,6 +168,91 @@ def test_fit_recovers_mesh_offset_soft():
     assert float(l) < l0 * 0.25, (l0, float(l))
 
 
+def test_fit_recovers_camera_look_at():
+    """Camera-pose optimization (BASELINE.json:5 'differentiable w.r.t.
+    ... camera'; VERDICT r2 #8): recover a perturbed cam_look_at.
+
+    Pointwise FD validation is impossible for camera rotation at test
+    resolution — the hard-visibility loss is so jagged that central
+    differences swing from 0.21 to -189 between eps=1e-3 and 1e-2
+    (measured; see docs/PARITY.md 'camera gradients'). The functional
+    criterion is what users need: gradient descent on pixel MSE recovers
+    the true VIEW DIRECTION (cam_look_at has a gauge freedom along the
+    view ray, so the metric is angular). Fixed-topology interior-shading
+    gradients alone recover it on this scene."""
+    import optax
+
+    from blink.api import extract_params, merge_params
+    from blink.kernels.api import make_backend
+    from blink.render.api import render_image
+
+    cfg = get_config("cornell").override(
+        width=40, height=40, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    be = make_backend("brute", scene)
+    target = render_image(scene, cfg, be)
+    p = extract_params(scene, ("cam_look_at", "cam_origin"))
+    true_la, origin = p["cam_look_at"], p["cam_origin"]
+
+    def dir_err(la):
+        v1 = (la - origin) / jnp.linalg.norm(la - origin)
+        v0 = (true_la - origin) / jnp.linalg.norm(true_la - origin)
+        return float(jnp.arccos(jnp.clip(jnp.dot(v1, v0), -1.0, 1.0)))
+
+    x0 = true_la + jnp.asarray([0.08, 0.12, -0.06])
+    sched = optax.cosine_decay_schedule(2e-2, 100)
+    opt = optax.adam(sched)
+
+    @jax.jit
+    def step(x, st):
+        def loss(v):
+            s = merge_params(scene, {"cam_look_at": v})
+            return jnp.mean((render_image(s, cfg, be) - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(x)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(x, up), st, l
+
+    x, st = x0, opt.init(x0)
+    for _ in range(100):
+        x, st, _ = step(x, st)
+    e0, e1 = dir_err(x0), dir_err(x)
+    assert e1 < e0 * 0.15, (e0, e1)
+
+
+def test_soft_mesh_camera_gradient_sane():
+    """Regression guard for the interior-edge phantom-flux bug: with a
+    BLACK residual layer, coplanar triangle pairs (quad diagonals) left
+    ~25% phantom transmittance whose screen position moves with the
+    camera — the soft cam_look_at gradient measured -89 vs FD 0.21.
+    With the hard-radiance residual (diff.soft), the soft-mode camera
+    gradient must stay within a small factor of the hard-mode one."""
+    from blink.api import extract_params, merge_params
+    from blink.kernels.api import make_backend
+    from blink.render.api import render_image
+
+    cfg = get_config("cornell").override(
+        width=32, height=32, deterministic=True, backend="brute"
+    )
+    scene = build_scene(cfg)
+    be = make_backend("brute", scene)
+    x0 = extract_params(scene, ("cam_look_at",))["cam_look_at"]
+
+    def grad_of(cfgx):
+        def loss(v):
+            s = merge_params(scene, {"cam_look_at": v})
+            return jnp.mean(render_image(s, cfgx, be) ** 2)
+
+        return jax.jit(jax.grad(loss))(x0)
+
+    g_hard = grad_of(cfg)
+    g_soft = grad_of(cfg.override(soft_sigma=0.8, soft_mesh=True))
+    assert bool(jnp.all(jnp.isfinite(g_soft)))
+    ratio = float(jnp.linalg.norm(g_soft) / (jnp.linalg.norm(g_hard) + 1e-12))
+    assert ratio < 5.0, f"soft/hard grad norm ratio {ratio} (phantom flux?)"
+
+
 def test_fit_tensorboard_summaries(tmp_path):
     """SURVEY.md §5 observability: tensorboard scalars + image summaries."""
     cfg = get_config("fit").override(

@@ -67,8 +67,14 @@ def _loss_of(name):
         ("cam_origin", 1e-3, 2e-4, 8e-2, 0.9),
         # Pure camera rotation shifts EVERY hard edge in the image, so the
         # true gradient is mostly visibility-flux that fixed-topology AD
-        # omits by design; only the interior-shading third matches FD.
-        # The trimmed-cosine check below still validates that part exactly.
+        # omits by design; only the interior-shading third matches FD —
+        # and FD itself is eps-unstable here (0.21 at 1e-3, -189 at 1e-2,
+        # measured). Camera optimization is validated FUNCTIONALLY instead:
+        # tests/test_fit.py::test_fit_recovers_camera_look_at recovers the
+        # view direction to <0.15x of the initial angular error, and
+        # test_soft_mesh_camera_gradient_sane guards the soft-mode
+        # estimator against phantom interior-edge flux. Scope note:
+        # docs/PARITY.md "camera gradients".
         ("cam_look_at", 1e-3, 2e-4, 8e-2, 0.3),
         ("cam_fov", 1e-3, 2e-4, 8e-2, 0.9),
         # Mesh geometry: the Cornell quads' vertices (light + floor).
