@@ -157,6 +157,15 @@ def _ensure_accelerator() -> str:
 
 
 def main() -> int:
+    # Multi-host pod (BASELINE.json:5 "N>=2 hosts"): autodetect the axon
+    # pool env and init the process group BEFORE first device use; strict
+    # no-op on a single host (VERDICT r2 #6 "zero code edits").
+    try:
+        from blink.dist.mesh import init_distributed
+
+        init_distributed()
+    except Exception as e:  # never fail the bench on pool plumbing
+        sys.stderr.write(f"multi-host init skipped: {e!r}\n")
     n_tris = int(os.environ.get("BLINK_BENCH_TRIS", "1000000"))
     size = int(os.environ.get("BLINK_BENCH_SIZE", "1024"))
     fast = os.environ.get("BLINK_BENCH_FAST", "") == "1"

@@ -134,6 +134,19 @@ def cmd_fit(args: argparse.Namespace) -> int:
 def cmd_bench(args: argparse.Namespace) -> int:
     from blink.benchmarks.harness import run_bench
 
+    if getattr(args, "hosts", "") or getattr(args, "auto_pool", False):
+        # Multi-host: one command per host (VERDICT r2 #6). --hosts takes
+        # the pool IP list (equivalent to PALLAS_AXON_POOL_IPS); with no
+        # value, init_distributed autodetects the env pool if present.
+        import os
+
+        from blink.dist.mesh import init_distributed
+
+        if args.hosts:
+            os.environ["PALLAS_AXON_POOL_IPS"] = args.hosts
+            if args.process_id is not None:
+                os.environ["PALLAS_AXON_PROCESS_ID"] = str(args.process_id)
+        init_distributed()
     result = run_bench(args.config, quick=args.quick)
     print(json.dumps(result))
     return 0
@@ -170,6 +183,20 @@ def main(argv: list[str] | None = None) -> int:
     pb = sub.add_parser("bench", help="benchmark harness")
     pb.add_argument("--config", default="sponza")
     pb.add_argument("--quick", action="store_true")
+    pb.add_argument(
+        "--hosts", default="",
+        help="comma-separated pool host IPs (multi-host init; run the "
+             "same command on every host). Empty + --auto-pool: use "
+             "PALLAS_AXON_POOL_IPS from the environment",
+    )
+    pb.add_argument(
+        "--auto-pool", action="store_true",
+        help="initialize multi-host from the axon pool env if present",
+    )
+    pb.add_argument(
+        "--process-id", type=int, default=None,
+        help="this host's index in --hosts (default: match local IPs)",
+    )
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
