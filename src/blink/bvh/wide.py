@@ -70,14 +70,102 @@ class WideBVH:
     #: tail tris padded degenerate with gid -1/zero verts).
     bref: Array = None
     tbat: Array = None
+    #: quantized-child mode (quant=True): `child` is (n_wide*24,) i32 —
+    #: per slot [w0, w1, w2] with w0 = qlo.x|qlo.y<<8|qlo.z<<16|cnt<<24,
+    #: w1 = qhi.x|qhi.y<<8|qhi.z<<16, w2 = ref — and `nbox` is
+    #: (n_wide*8,) f32 per-node dequant frames [ox oy oz sx sy sz 0 0]:
+    #: coord = o + q*s, q in [0,255]. 12 B/child + 4 B/child frame vs
+    #: 32 B/child f32 → ~2.1x more tree per SMEM byte, which is what
+    #: lets production use smaller wide leaves (tighter packet unions)
+    #: without chunk-count explosion. Quantization is CONSERVATIVE
+    #: (host-side nudging in exact f32 decode arithmetic: decoded box
+    #: always contains the true box), so traversal results are exact —
+    #: boxes are only <= 1/255 of node extent looser per side. u8 +
+    #: sitofp dequant, not bf16 pairs: Mosaic lowers scalar int->float
+    #: converts but not scalar bitcasts (benchmarks/scalar_ops_probe.py,
+    #: on-chip 2026-08-19).
+    nbox: Array = None
     n_wide: int = static_field(default=0)
     leaf_size: int = static_field(default=4)
     max_stack: int = static_field(default=WIDE_STACK_CAP)
+    quant: bool = static_field(default=False)
     #: kernel reads leaf tri records in cnt-gated blocks of 8 (vs one
     #: straight unroll of leaf_size reads). Measured on-chip (bunny 512^2):
     #: blocked reads cost ~25% — the cnt-gate conds outweigh the saved
     #: loads — so straight unroll is the default.
     block_reads: bool = static_field(default=False)
+
+
+def _quantize_children(
+    child: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_wide, 8, 8) f32 child records -> (childq (n_wide*24,) i32,
+    nbox (n_wide*8,) f32). See WideBVH.nbox for the format.
+
+    Conservative by construction AND by verification: q is floor/ceil
+    quantized, then nudged until the EXACT f32 decode (origin + q*step,
+    the same arithmetic the kernel's sitofp+fma performs) brackets the
+    true box on every axis. Empty slots (ref==0, cnt==0, EMPTY_BOX far
+    point) encode as the far-corner point box q=255 — even if a ray
+    grazes that exact corner, an empty slot triggers no push and no
+    leaf test, so a spurious pass costs nothing."""
+    n = child.shape[0]
+    lo = child[:, :, 0:3].astype(np.float32)
+    hi = child[:, :, 3:6].astype(np.float32)
+    ref = child[:, :, 6].astype(np.int64)
+    cnt = child[:, :, 7].astype(np.int64)
+    assert int(cnt.max(initial=0)) <= 127, "cnt must fit 7 bits (sign-safe)"
+    assert int(ref.max(initial=0)) < 2**31, "ref must fit i32"
+    filled = ~((cnt == 0) & (ref == 0) & (lo[..., 0] >= 1e29))
+
+    glo = np.where(filled[..., None], lo, np.inf).min(axis=1)
+    ghi = np.where(filled[..., None], hi, -np.inf).max(axis=1)
+    none = ~filled.any(axis=1)
+    glo[none] = 0.0
+    ghi[none] = 1.0
+    glo = glo.astype(np.float32)
+    step = ((ghi - glo) / 255.0).astype(np.float32)
+    # Bump step by ulps until origin + 255*step covers ghi in exact f32.
+    for _ in range(8):
+        bad = (glo + np.float32(255.0) * step) < ghi
+        if not bad.any():
+            break
+        step = np.where(
+            bad, np.nextafter(step, np.float32(np.inf)), step
+        ).astype(np.float32)
+    assert not ((glo + np.float32(255.0) * step) < ghi).any()
+
+    safe = np.where(step > 0, step, np.float32(1.0)).astype(np.float32)
+    o3 = glo[:, None, :]
+    s3 = safe[:, None, :]
+    ql = np.clip(np.floor((lo - o3) / s3), 0, 255).astype(np.float32)
+    qh = np.clip(np.ceil((hi - o3) / s3), 0, 255).astype(np.float32)
+
+    def dec(q):  # EXACT kernel decode: f32 fma of f32(q) and step
+        return (o3 + q * step[:, None, :]).astype(np.float32)
+
+    for _ in range(8):
+        low_bad = dec(ql) > lo
+        high_bad = dec(qh) < hi
+        if not (low_bad[filled].any() or high_bad[filled].any()):
+            break
+        ql = np.where(low_bad, np.maximum(ql - 1, 0), ql)
+        qh = np.where(high_bad, np.minimum(qh + 1, 255), qh)
+    assert (dec(ql)[filled] <= lo[filled]).all(), "lo not conservative"
+    assert (dec(qh)[filled] >= hi[filled]).all(), "hi not conservative"
+
+    qli = ql.astype(np.int64)
+    qhi_ = qh.astype(np.int64)
+    qli[~filled] = 255
+    qhi_[~filled] = 255
+    w0 = qli[..., 0] | (qli[..., 1] << 8) | (qli[..., 2] << 16) | (cnt << 24)
+    w1 = qhi_[..., 0] | (qhi_[..., 1] << 8) | (qhi_[..., 2] << 16)
+    w2 = ref
+    childq = np.stack([w0, w1, w2], axis=-1).astype(np.int32)  # (n,8,3)
+    nbox = np.zeros((n, 8), np.float32)
+    nbox[:, 0:3] = glo
+    nbox[:, 3:6] = step
+    return childq.reshape(n * 24), nbox.reshape(n * 8)
 
 
 def _sa(lo: np.ndarray, hi: np.ndarray) -> float:
@@ -86,7 +174,8 @@ def _sa(lo: np.ndarray, hi: np.ndarray) -> float:
 
 
 def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
-               block_reads: bool = False) -> WideBVH:
+               block_reads: bool = False, quant: bool = False,
+               row_tables: bool = True) -> WideBVH:
     """Collapse a binary preorder skip-link FlatBVH into a WideBVH.
 
     Adaptive subtree leafing: the SAH builder assigns leaf triangle slots
@@ -252,6 +341,26 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
     )
 
     # --- row-gated batch table (tris in sublanes; see WideBVH.tbat) -------
+    # row_tables=False skips them: tbat costs ~64 B/tri plus batch padding
+    # in VMEM — at production chunk sizes that is several MB per chunk the
+    # group-mode kernels never read.
+    if not row_tables:
+        kw = {}
+        if quant:
+            childq, nbox = _quantize_children(child)
+            kw = {"child": jnp.asarray(childq), "nbox": jnp.asarray(nbox)}
+        else:
+            kw = {"child": jnp.asarray(child.reshape(n_wide * WIDTH * 8))}
+        return WideBVH(
+            perm=jnp.asarray(perm.reshape(n_wide * WIDTH)),
+            trow=jnp.asarray(trow),
+            n_wide=n_wide,
+            leaf_size=wide_leaf,
+            max_stack=max_stack,
+            block_reads=block_reads,
+            quant=quant,
+            **kw,
+        )
     tv0 = np.asarray(bvh.tv0, np.float32)
     te1 = np.asarray(bvh.te1, np.float32)
     te2 = np.asarray(bvh.te2, np.float32)
@@ -284,8 +393,12 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
         tbat[8 * (B // 8) : 8 * (B // 8) + 8,
              16 * (B % 8) : 16 * (B % 8) + 16] = tile
 
+    if quant:
+        childq, nbox = _quantize_children(child)
+        ckw = {"child": jnp.asarray(childq), "nbox": jnp.asarray(nbox)}
+    else:
+        ckw = {"child": jnp.asarray(child.reshape(n_wide * WIDTH * 8))}
     return WideBVH(
-        child=jnp.asarray(child.reshape(n_wide * WIDTH * 8)),
         perm=jnp.asarray(perm.reshape(n_wide * WIDTH)),
         trow=jnp.asarray(trow),
         bref=jnp.asarray(bref.reshape(n_wide * WIDTH)),
@@ -294,4 +407,6 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
         leaf_size=wide_leaf,
         max_stack=max_stack,
         block_reads=block_reads,
+        quant=quant,
+        **ckw,
     )

@@ -89,11 +89,21 @@ def make_backend(name: str, scene: Scene) -> Backend:
             from blink.kernels.traverse_pallas import build_chunked_wide
 
             # VMEM-sized Morton chunks (a 1-element list for small
-            # scenes), each collapsed to the 8-wide SMEM-node layout —
-            # measured 1.7x over the binary ordered kernel on the 1M-tri
-            # scene (18.4 vs 11.0 Mrays/s) with exact hit parity.
+            # scenes), each collapsed to the 8-wide SMEM-node layout.
+            # Production constants from the on-chip sweeps
+            # (benchmarks/quant_sweep{,2}.py, 1M tris @1024², 2026-08-19):
+            # quantized u8 child boxes (12 B/child, exact-conservative)
+            # double SMEM tree capacity, which pays for 250k-tri chunks
+            # (4 passes instead of 9) — closest 17.6 -> 20.7 Mrays/s,
+            # anyhit 32.2 -> 37.0. row_tables off: the group-mode kernels
+            # never read tbat/bref, and at these chunk sizes the batch
+            # table would not fit VMEM anyway.
             return Backend(
-                name=name, bvh=build_chunked_wide(scene.triangles),
+                name=name,
+                bvh=build_chunked_wide(
+                    scene.triangles, chunk_tris=250_000, quant=True,
+                    row_tables=False,
+                ),
                 shade=shade,
             )
         return Backend(

@@ -559,7 +559,7 @@ def _make_kernel_ordered(n_nodes: int, leaf_size: int, any_hit: bool,
 def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                       any_hit: bool, block_reads: bool = True,
                       rows: int = RAY_ROWS, row_groups: int = ROW_GROUPS,
-                      leaf_mode: str = "group"):
+                      leaf_mode: str = "group", quant: bool = False):
     """8-wide SMEM-node packet walk (see bvh.wide for the data layout and
     the design rationale). Per iteration: pop one wide node, slab-test all
     8 children (independent vector ops — the serial scalar chain is paid
@@ -591,13 +591,20 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
     GR = rows // groups
     MAX_BATCH = -(-leaf_size // 8)
 
-    def kernel(child_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref,
-               *refs):
+    def kernel(child_ref, *refs):
+        if quant:
+            # child_ref is the packed i32 table; nbox_ref the dequant
+            # frames (WideBVH.nbox docstring).
+            nbox_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref = refs[:6]
+            rest = refs[6:]
+        else:
+            perm_ref, o_ref, d_ref, tfar_ref, trow_ref = refs[:5]
+            rest = refs[5:]
         if leaf_mode == "row":
             (bref_ref, tbat_ref, t_out_ref, prim_out_ref, stack_ref,
-             rowidx_ref) = refs
+             rowidx_ref) = rest
         else:
-            t_out_ref, prim_out_ref, stack_ref = refs
+            t_out_ref, prim_out_ref, stack_ref = rest
 
         def read_tri(s):
             row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
@@ -647,19 +654,43 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
             best_t = t_out_ref[...]
             if any_hit:
                 unblocked = prim_out_ref[...] < 0
+            if quant:
+                b8 = node * 8
+                nox = nbox_ref[b8]
+                noy = nbox_ref[b8 + 1]
+                noz = nbox_ref[b8 + 2]
+                nsx = nbox_ref[b8 + 3]
+                nsy = nbox_ref[b8 + 4]
+                nsz = nbox_ref[b8 + 5]
             slots = []
             for k in range(8):  # near-first octant order
                 c8 = (pm >> (3 * k)) & 7
-                f = base + c8 * 8
+                if quant:
+                    f = (node * 8 + c8) * 3
+                    w0 = child_ref[f]
+                    w1 = child_ref[f + 1]
+                    ref = child_ref[f + 2]
+                    # cnt in bits 24-30 (<=127): sign bit clear, so the
+                    # arithmetic shift is exact.
+                    cnt = w0 >> 24
+                    lx = nox + (w0 & 255).astype(jnp.float32) * nsx
+                    ly = noy + ((w0 >> 8) & 255).astype(jnp.float32) * nsy
+                    lz = noz + ((w0 >> 16) & 255).astype(jnp.float32) * nsz
+                    hx = nox + (w1 & 255).astype(jnp.float32) * nsx
+                    hy = noy + ((w1 >> 8) & 255).astype(jnp.float32) * nsy
+                    hz = noz + ((w1 >> 16) & 255).astype(jnp.float32) * nsz
+                else:
+                    f = base + c8 * 8
+                    lx, ly, lz = child_ref[f], child_ref[f + 1], child_ref[f + 2]
+                    hx, hy, hz = child_ref[f + 3], child_ref[f + 4], child_ref[f + 5]
+                    ref = jnp.int32(child_ref[f + 6])
+                    cnt = jnp.int32(child_ref[f + 7])
                 need = _slab(
                     ox, oy, oz, ix, iy, iz, t_min, best_t,
-                    child_ref[f], child_ref[f + 1], child_ref[f + 2],
-                    child_ref[f + 3], child_ref[f + 4], child_ref[f + 5],
+                    lx, ly, lz, hx, hy, hz,
                 )
                 if any_hit:
                     need = need & unblocked
-                ref = jnp.int32(child_ref[f + 6])
-                cnt = jnp.int32(child_ref[f + 7])
                 slots.append((jnp.any(need), need, ref, cnt, c8))
 
             if leaf_mode == "row":
@@ -928,9 +959,10 @@ def _traverse_wide_packed(
         # uint32 bitmask (rowbit = 1 << iota(rows)); rows 32+ would be
         # silently dropped from leaf testing (ADVICE r2).
         raise ValueError(f"leaf_mode='row' supports rows <= 32, got {rows}")
+    quant = bool(getattr(wide, "quant", False))
     kernel = _make_kernel_wide(
         wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads,
-        rows=rows, row_groups=row_groups, leaf_mode=leaf_mode,
+        rows=rows, row_groups=row_groups, leaf_mode=leaf_mode, quant=quant,
     )
     ray3 = pl.BlockSpec(
         (3, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -944,15 +976,19 @@ def _traverse_wide_packed(
             arr.shape, lambda i: (0,) * arr.ndim, memory_space=space
         )
 
-    in_specs = [
-        whole(wide.child, pltpu.SMEM),
+    in_specs = [whole(wide.child, pltpu.SMEM)]
+    inputs = [wide.child]
+    if quant:
+        in_specs.append(whole(wide.nbox, pltpu.SMEM))
+        inputs.append(wide.nbox)
+    in_specs += [
         whole(wide.perm, pltpu.SMEM),
         ray3,
         ray3,
         ray1,
         whole(wide.trow, pltpu.VMEM),
     ]
-    inputs = [wide.child, wide.perm, o_t, d_t, tf_t, wide.trow]
+    inputs += [wide.perm, o_t, d_t, tf_t, wide.trow]
     scratch = [pltpu.SMEM((wide.max_stack,), jnp.int32)]
     if leaf_mode == "row":
         in_specs += [
@@ -1184,7 +1220,8 @@ def build_chunked_packed(tris, leaf_size: int = 16, chunk_tris: int = CHUNK_TRIS
 
 def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
                        wide_leaf: int = 32, split_free: bool = False,
-                       block_reads: bool = False, uniform: bool = True):
+                       block_reads: bool = False, uniform: bool = True,
+                       quant: bool = False, row_tables: bool = True):
     """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide).
 
     leaf_size is the BINARY SAH leaf (small = best tree quality); wide_leaf
@@ -1202,7 +1239,8 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
 
     chunks = [
         build_wide(b, wide_leaf=wide_leaf, split_free=split_free,
-                   block_reads=block_reads)
+                   block_reads=block_reads, quant=quant,
+                   row_tables=row_tables)
         for b in _chunked_sah_trees(tris, leaf_size, chunk_tris)
     ]
     if uniform and len(chunks) > 1:
@@ -1235,8 +1273,9 @@ def pad_chunks_uniform(chunks):
     )
     out = []
     for c in chunks:
+        cw = 24 if getattr(c, "quant", False) else 64  # i32/f32 words/node
         child = jnp.concatenate(
-            [c.child, jnp.zeros((n_wide * 64 - c.child.shape[0],),
+            [c.child, jnp.zeros((n_wide * cw - c.child.shape[0],),
                                 c.child.dtype)]
         )
         perm = jnp.concatenate(
@@ -1256,6 +1295,12 @@ def pad_chunks_uniform(chunks):
             kw["tbat"] = jnp.concatenate(
                 [c.tbat, jnp.zeros((b_rows - c.tbat.shape[0],
                                     c.tbat.shape[1]), c.tbat.dtype)]
+            )
+        if getattr(c, "nbox", None) is not None:
+            # Padding nodes are unreachable; a zero dequant frame is fine.
+            kw["nbox"] = jnp.concatenate(
+                [c.nbox, jnp.zeros((n_wide * 8 - c.nbox.shape[0],),
+                                   c.nbox.dtype)]
             )
         out.append(c.replace(child=child, perm=perm, trow=trow,
                              n_wide=n_wide, max_stack=stack, **kw))

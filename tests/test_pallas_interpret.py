@@ -149,3 +149,74 @@ def test_wide_rowgate_parity_interpret():
         o, d, chunks, t_far, interpret=True, rows=8, leaf_mode="row"
     )
     np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
+
+
+def test_wide_quant_parity_interpret():
+    """Quantized-child WideBVH (u8 boxes + per-node dequant frames,
+    bvh.wide._quantize_children) == reference. Quantized boxes are only
+    LOOSER (conservative), so hits are identical, not just close."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_wide,
+        traverse_anyhit_wide,
+        traverse_closest_wide,
+    )
+
+    tris = _random_tris(1600, 41)
+    chunks = build_chunked_wide(
+        tris, chunk_tris=800, quant=True, row_tables=False
+    )
+    assert len(chunks) == 2 and chunks[0].quant
+    assert chunks[0].child.dtype == jnp.int32
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(300, 42)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_w, p_w = traverse_closest_wide(o, d, chunks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
+    t_far = jnp.full((300,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_w = traverse_anyhit_wide(o, d, chunks, t_far, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
+
+
+def test_quantize_children_conservative():
+    """Property: the exact f32 decode of every quantized child box
+    CONTAINS the true box (the invariant that makes quantized traversal
+    exact rather than approximate)."""
+    from blink.bvh.sah import build_sah_bvh
+    from blink.bvh.wide import _quantize_children, build_wide
+
+    tris = _random_tris(1200, 43)
+    bvh = build_sah_bvh(tris, 4)
+    wide = build_wide(bvh, wide_leaf=16, row_tables=False)
+    child = np.asarray(wide.child, np.float32).reshape(-1, 8, 8)
+    childq, nbox = _quantize_children(child)
+    childq = childq.reshape(-1, 8, 3)
+    nbox = nbox.reshape(-1, 8)
+    lo = child[:, :, 0:3]
+    hi = child[:, :, 3:6]
+    filled = ~(
+        (child[:, :, 7] == 0) & (child[:, :, 6] == 0) & (lo[..., 0] >= 1e29)
+    )
+    o = nbox[:, None, 0:3].astype(np.float32)
+    s = nbox[:, None, 3:6].astype(np.float32)
+    w0 = childq[..., 0]
+    w1 = childq[..., 1]
+    ql = np.stack(
+        [w0 & 255, (w0 >> 8) & 255, (w0 >> 16) & 255], axis=-1
+    ).astype(np.float32)
+    qh = np.stack(
+        [w1 & 255, (w1 >> 8) & 255, (w1 >> 16) & 255], axis=-1
+    ).astype(np.float32)
+    dlo = (o + ql * s).astype(np.float32)
+    dhi = (o + qh * s).astype(np.float32)
+    assert (dlo[filled] <= lo[filled]).all()
+    assert (dhi[filled] >= hi[filled]).all()
+    # cnt/ref round-trip
+    cnt = (w0 >> 24) & 127
+    np.testing.assert_array_equal(cnt, child[:, :, 7].astype(np.int64))
+    np.testing.assert_array_equal(
+        childq[..., 2], child[:, :, 6].astype(np.int64)
+    )
