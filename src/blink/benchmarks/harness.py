@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 
 def _time(fn, *args, warmup: int = 1, iters: int = 3) -> float:
-    """Median wall-clock seconds of fn(*args) after warmup (jit-compiled)."""
+    """Median wall-clock seconds of fn(*args) after warmup (jit-compiled).
+
+    Blocks between reps: measures single-launch LATENCY, which on the
+    axon remote-device path includes ~20 ms of per-launch RPC overhead
+    (benchmarks/dispatch_gap_probe.py) that back-to-back frames never
+    pay. Use _time_sustained for throughput metrics."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times = []
@@ -28,6 +33,29 @@ def _time(fn, *args, warmup: int = 1, iters: int = 3) -> float:
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def _time_sustained(fn, *args, warmup: int = 1, reps: int = 5,
+                    batches: int = 3) -> float:
+    """Median per-call seconds over launch-pipelined batches: `reps` calls
+    are issued back-to-back with one final block, so device execution
+    overlaps host dispatch — the steady-state regime of any real render
+    loop (spp accumulation, animation, fitting iterations). Measured gap
+    vs blocked single-launch timing on this chip: ~20 ms/launch of axon
+    RPC latency at identical device-side work
+    (benchmarks/dispatch_gap_probe.py, 2026-08-19)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    per_call = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(reps):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        per_call.append((time.perf_counter() - t0) / reps)
+    per_call.sort()
+    return per_call[len(per_call) // 2]
 
 
 def tile_rays(o, d, h: int, w: int):
@@ -45,10 +73,7 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
     """HEADLINE metric (BASELINE.json:5): primary rays/s, forward,
     closest-hit over the scene's triangle BVH via the Pallas packet
     kernels (chunked multi-pass for scenes beyond VMEM)."""
-    from blink.kernels.traverse_pallas import (
-        build_chunked_wide,
-        traverse_closest_chunked,
-    )
+    from blink.kernels.traverse_pallas import traverse_closest_chunked
     from blink.render.camera import generate_rays
 
     key = jax.random.key(0)
@@ -61,7 +86,13 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
                                 pixel_id=pid)
     )(scene)
     if jax.default_backend() == "tpu":
-        chunks = build_chunked_wide(scene.triangles)
+        # The PRODUCTION tree, not a hand-rolled one: make_backend holds
+        # the measured chunk/quant constants, and the headline must
+        # measure what render_image actually runs (a stale default here
+        # silently benchmarked the pre-quant 9-chunk config once).
+        from blink.kernels.api import make_backend
+
+        chunks = make_backend("pallas", scene).bvh
         if tile is None:
             o, d = tile_rays(o, d, size, size)
         f = jax.jit(lambda a, b: traverse_closest_chunked(a, b, chunks))
@@ -75,13 +106,16 @@ def bench_primary_traversal(scene, size: int = 1024) -> dict[str, Any]:
         bvh = build_flat_bvh(scene.triangles)
         f = jax.jit(lambda a, b: traverse_closest(a, b, bvh))
         n_chunks = 1
-    dt = _time(lambda: f(o, d))
+    dt = _time_sustained(lambda: f(o, d))
+    dt_blocked = _time(lambda: f(o, d))
     n = size * size
     t, prim = f(o, d)
     return {
         "wall_s": dt,
         "rays": n,
         "rays_per_s": n / dt,
+        "latency_wall_s": dt_blocked,
+        "launch_overhead_s": dt_blocked - dt,
         "hit_fraction": float(jnp.mean(prim >= 0)),
         "n_chunks": n_chunks,
     }

@@ -876,21 +876,36 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                                     pr = prim_out_ref[rs]
                                     gox, goy, goz = ox[rs], oy[rs], oz[rs]
                                     gdx, gdy, gdz = dx[rs], dy[rs], dz[rs]
+                                    # The block's MT tests are evaluated
+                                    # INDEPENDENTLY against the block-entry
+                                    # best-t, then merged in slot order.
+                                    # Identical result to a carried best-t
+                                    # (strict < in the merge preserves
+                                    # first-slot-wins on exact ties; a later
+                                    # tri admitted by the stale bound loses
+                                    # the merge) but the ~35-op MT chains no
+                                    # longer depend on each other, so the
+                                    # VPU pipeline fills instead of stalling
+                                    # on each tri's latency.
+                                    t_js = []
                                     for j in range(nblk):
                                         tr = trs[j]
-                                        t = _mt_tri(
+                                        t_js.append(_mt_tri(
                                             gox, goy, goz, gdx, gdy, gdz,
                                             tr[0, 0], tr[0, 1], tr[0, 2],
                                             tr[0, 3], tr[0, 4], tr[0, 5],
                                             tr[0, 6], tr[0, 7], tr[0, 8],
                                             t_min, bt,
-                                        )
+                                        ))
+                                    for j in range(nblk):
+                                        t = t_js[j]
                                         better = (
                                             gneed & (b0 + j < cnt) & (t < bt)
                                         )
                                         bt = jnp.where(better, t, bt)
                                         pr = jnp.where(
-                                            better, jnp.int32(tr[0, 9]), pr
+                                            better,
+                                            jnp.int32(trs[j][0, 9]), pr,
                                         )
                                     t_out_ref[rs] = bt
                                     prim_out_ref[rs] = pr
