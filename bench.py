@@ -41,7 +41,7 @@ def _fwd_bwd(scene, size: int):
     import jax.numpy as jnp
 
     from blink.api import extract_params, loss_fn
-    from blink.benchmarks.harness import _time
+    from blink.benchmarks.harness import _time_sustained as _time
     from blink.config import get_config
     from blink.kernels.api import make_backend
 

@@ -27,12 +27,23 @@ import jax.numpy as jnp
 
 
 def timeit(f, *a, reps=3):
-    jax.block_until_ready(f(*a))
+    # Materialize a host-side checksum outside the timed region: one run
+    # of this probe returned physically-impossible ~0.15 ms frame times
+    # (block_until_ready returned instantly; a later identical run showed
+    # the real ~155 ms — transient relay state). The checksum forces a
+    # full device->host transfer so a silently-broken block shows up as
+    # an absurd checksum or a hang here rather than as a fake timing.
+    import numpy as np
+
+    r0 = f(*a)
+    chk = float(np.sum(np.abs(np.asarray(jax.tree_util.tree_leaves(r0)[0],
+                                         dtype=np.float64))))
     t0 = time.perf_counter()
     for _ in range(reps):
         r = f(*a)
     jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / reps
+    return dt, chk
 
 
 def main() -> None:
@@ -68,17 +79,17 @@ def main() -> None:
 
     p_mat = extract_params(scene, ("albedo", "emission"))
     p_geo = extract_params(scene, ("albedo", "emission", "tri_verts"))
-    dt_f = timeit(lambda: fwd(scene, cfg, backend))
-    print(f"fwd          {dt_f*1e3:8.2f} ms", flush=True)
-    dt_fd = timeit(lambda: fwd(scene.replace(geom_dirty=True), cfg, backend))
-    print(f"fwd_dirty    {dt_fd*1e3:8.2f} ms  (narrow-gather refine fwd)",
-          flush=True)
-    dt_m = timeit(lambda: vg(p_mat, scene, cfg, backend, target))
-    print(f"vg_mat       {dt_m*1e3:8.2f} ms  ratio={dt_m/dt_f:.2f}",
-          flush=True)
-    dt_g = timeit(lambda: vg(p_geo, scene, cfg, backend, target))
-    print(f"vg_geo       {dt_g*1e3:8.2f} ms  ratio={dt_g/dt_f:.2f}",
-          flush=True)
+    dt_f, ck = timeit(lambda: fwd(scene, cfg, backend))
+    print(f"fwd          {dt_f*1e3:8.2f} ms  chk={ck:.3e}", flush=True)
+    dt_fd, ck = timeit(lambda: fwd(scene.replace(geom_dirty=True), cfg, backend))
+    print(f"fwd_dirty    {dt_fd*1e3:8.2f} ms  (narrow-gather refine fwd) "
+          f"chk={ck:.3e}", flush=True)
+    dt_m, ck = timeit(lambda: vg(p_mat, scene, cfg, backend, target))
+    print(f"vg_mat       {dt_m*1e3:8.2f} ms  ratio={dt_m/dt_f:.2f} "
+          f"chk={ck:.3e}", flush=True)
+    dt_g, ck = timeit(lambda: vg(p_geo, scene, cfg, backend, target))
+    print(f"vg_geo       {dt_g*1e3:8.2f} ms  ratio={dt_g/dt_f:.2f} "
+          f"chk={ck:.3e}", flush=True)
 
     # --- diff layer alone: hit topology precomputed outside the vjp ------
     key = jax.random.key(0)
@@ -97,9 +108,9 @@ def main() -> None:
         return jnp.sum(g.p) + jnp.sum(g.albedo)
 
     rvg = jax.jit(jax.value_and_grad(refine_loss))
-    dt_r = timeit(lambda: rvg(p_geo))
-    print(f"refine_vg    {dt_r*1e3:8.2f} ms  (diff layer alone, geo params)",
-          flush=True)
+    dt_r, ck = timeit(lambda: rvg(p_geo))
+    print(f"refine_vg    {dt_r*1e3:8.2f} ms  (diff layer alone, geo params) "
+          f"chk={ck:.3e}", flush=True)
 
     def nee_loss(params):
         s = merge_params(scene, params)
@@ -107,9 +118,9 @@ def main() -> None:
         return jnp.sum(nee_direct(s, g, pkeys, backend, 0, False))
 
     nvg = jax.jit(jax.value_and_grad(nee_loss))
-    dt_n = timeit(lambda: nvg(p_geo))
-    print(f"nee_vg       {dt_n*1e3:8.2f} ms  (NEE incl shadow anyhit fwd)",
-          flush=True)
+    dt_n, ck = timeit(lambda: nvg(p_geo))
+    print(f"nee_vg       {dt_n*1e3:8.2f} ms  (NEE incl shadow anyhit fwd) "
+          f"chk={ck:.3e}", flush=True)
 
 
 if __name__ == "__main__":
