@@ -98,11 +98,19 @@ def make_backend(name: str, scene: Scene) -> Backend:
             # anyhit 32.2 -> 37.0. row_tables off: the group-mode kernels
             # never read tbat/bref, and at these chunk sizes the batch
             # table would not fit VMEM anyway.
+            # Chunk passes run near-to-far from the BUILD-TIME camera
+            # origin: the sequential best-t threading then prunes later
+            # chunks against a tight bound for primary rays (exact for
+            # any camera — order only moves work between gates; the
+            # build-time viewpoint is simply the best static guess).
+            import numpy as np
+
+            cam_o = np.asarray(scene.camera.origin, np.float32)
             return Backend(
                 name=name,
                 bvh=build_chunked_wide(
                     scene.triangles, chunk_tris=250_000, quant=True,
-                    row_tables=False,
+                    row_tables=False, order_from=cam_o,
                 ),
                 shade=shade,
             )
