@@ -107,12 +107,50 @@ def main() -> None:
     variants["reversed"] = (p_l, -w_r, t_r)
     variants["camera"] = (o, d, jnp.full((n,), 100.0, jnp.float32))
 
+    # --- coherence-sort variants: reorder the REAL rays so each packed
+    # 1024-ray cull group covers a compact origin cluster, then scatter
+    # blocked back. Measures END-TO-END (key+argsort+gathers+walk+scatter).
+    lo = jnp.min(scene.triangles.v0, axis=0)
+    hi = jnp.max(scene.triangles.v0, axis=0)
+
+    def _part1by2(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    def morton(p):
+        q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+        q = jnp.asarray(q * 1023.0, jnp.int32)
+        return (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+                | (_part1by2(q[:, 2]) << 2))
+
+    def occ_sorted(oo, ww, tt, s):
+        key = jnp.where(tt > 0.0, morton(oo), jnp.int32(0x7FFFFFFF))
+        order = jnp.argsort(key)
+        b = occ(oo[order], ww[order], tt[order], s)
+        return jnp.zeros_like(b).at[order].set(b)
+
+    def occ_sorted_tile(oo, ww, tt, s):
+        # Cheaper near-sort: keep rays in place, sort only at 1024-ray
+        # granularity? (baseline for sort-cost attribution: identity perm)
+        order = jnp.argsort(jnp.zeros_like(tt, jnp.int32))
+        b = occ(oo[order], ww[order], tt[order], s)
+        return jnp.zeros_like(b).at[order].set(b)
+
+    variants["sorted"] = (o_r, w_r, t_r)
+    variants["sort-cost"] = (o_r, w_r, t_r)
+
     blocked = jax.block_until_ready(occ(o_r, w_r, t_r, scene))
     print(f"blocked fraction (real): {float(jnp.mean(blocked)):.3f}",
           flush=True)
 
+    fns = {"sorted": jax.jit(occ_sorted), "sort-cost": jax.jit(occ_sorted_tile)}
     for name, (oo, ww, tt) in variants.items():
-        dt, chk = timeit(occ, oo, ww, tt, scene)
+        f = fns.get(name, occ)
+        dt, chk = timeit(f, oo, ww, tt, scene)
         print(f"{name:10s} {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mrays/s  "
               f"blocked={chk/n:.3f}", flush=True)
 

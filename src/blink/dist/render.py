@@ -143,18 +143,22 @@ def dist_render_grad(
         i = jax.lax.axis_index(AXIS)
 
         def local_sse(params):
+            # pcast-to-varying: mark the replicated params device-varying.
+            # Its AD transpose IS the psum gradient all-reduce over ICI
+            # (BASELINE.json:5,11), scheduled by XLA inside the backward
+            # sweep ("overlapped with backward"). It also keeps every
+            # cotangent in the integrator's differentiated fori_loop carry
+            # uniformly varying — without it the tri_verts cotangent enters
+            # the scan unvarying (zeros init) but exits varying, which
+            # shard_map's manual-axes checker rejects.
+            params = jax.tree_util.tree_map(
+                lambda x: jax.lax.pcast(x, AXIS, to="varying"), params)
             s = merge_params(scene, params)
             block = _render_block(s, cfg, backend, i * rows, rows)
             return jnp.sum((block - target_block) ** 2)
 
         sse, grads = jax.value_and_grad(local_sse)(params)
         loss = jax.lax.psum(sse, AXIS) / denom
-        # Scene-param gradient all-reduce over ICI (BASELINE.json:5,11):
-        # params enter the shard REPLICATED, so reverse-mode AD already
-        # all-reduces their cotangents (the transpose of the implicit
-        # broadcast is a psum that XLA schedules inside the backward sweep
-        # — exactly the "overlapped with backward" collective). An explicit
-        # psum here would double-count by the mesh size.
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
         return loss, grads
 

@@ -59,7 +59,14 @@ def _light_contrib(
     emit = select_rows(scene.materials.emission, mat_l)
 
     shadow_o = geom.p + geom.n * RAY_EPS
-    t_far = jax.lax.stop_gradient(dist) * (1.0 - 1e-3)
+    # t_far=0 for rays whose primary MISSED: their contribution is masked
+    # by `active` below either way, but without this they still walk the
+    # whole tree from a garbage origin (37% of rays at sponza 1024² —
+    # hit_fraction 0.63). tf=0 fails every slab test, so dead lanes cost
+    # one root visit instead of a full any-hit walk. Exact by construction.
+    t_far = jnp.where(
+        geom.valid, jax.lax.stop_gradient(dist) * (1.0 - 1e-3), 0.0
+    )
     blocked = backend.occluded(shadow_o, wi, scene, t_far)
 
     geom_term = cos_s * cos_l / jnp.maximum(dist2, 1e-8)
