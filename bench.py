@@ -22,10 +22,37 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
 
 TARGET_RAYS_PER_S = 1e9
+
+#: Global wall-clock deadline (seconds). The driver runs this script under
+#: an external `timeout`; every stage below checks remaining budget before
+#: starting so a slow extra can never eat the already-measured headline
+#: (VERDICT r3 weak #3). The headline JSON is printed+flushed the moment
+#: it exists; extras only ENRICH a re-printed final line.
+_DEADLINE = time.monotonic() + float(os.environ.get("BLINK_BENCH_DEADLINE_S", "1500"))
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _emit(result: dict) -> None:
+    """Print the result line (flushed) and mirror it to BENCH_SELF.json so
+    the repo artifact always matches the last measurement (VERDICT r3
+    weak #4/#5: measure -> update BENCH_SELF.json in the same run)."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SELF.json")
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:  # read-only checkout etc. — never lose the print
+        sys.stderr.write(f"BENCH_SELF.json not written: {e!r}\n")
 
 
 def _fwd_bwd(scene, size: int):
@@ -138,7 +165,7 @@ def _ensure_accelerator() -> str:
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=int(os.environ.get("BLINK_BENCH_PROBE_S", "600")),
+            timeout=int(os.environ.get("BLINK_BENCH_PROBE_S", "120")),
         )
         for line in out.stdout.splitlines():
             if line.startswith("BACKEND="):
@@ -157,15 +184,6 @@ def _ensure_accelerator() -> str:
 
 
 def main() -> int:
-    # Multi-host pod (BASELINE.json:5 "N>=2 hosts"): autodetect the axon
-    # pool env and init the process group BEFORE first device use; strict
-    # no-op on a single host (VERDICT r2 #6 "zero code edits").
-    try:
-        from blink.dist.mesh import init_distributed
-
-        init_distributed()
-    except Exception as e:  # never fail the bench on pool plumbing
-        sys.stderr.write(f"multi-host init skipped: {e!r}\n")
     n_tris = int(os.environ.get("BLINK_BENCH_TRIS", "1000000"))
     size = int(os.environ.get("BLINK_BENCH_SIZE", "1024"))
     fast = os.environ.get("BLINK_BENCH_FAST", "") == "1"
@@ -179,7 +197,18 @@ def main() -> int:
         size = min(size, 256)
         fast = True
     else:
+        # ORDER MATTERS (VERDICT r3 weak #2, the r3 rc=124 root cause):
+        # the sandboxed subprocess probe must be the FIRST thing that
+        # touches the accelerator. Only after it passes may this process
+        # initialize the backend (init_distributed below no longer calls
+        # jax.* when no pool env is set, but keep the safe order anyway).
         platform = _ensure_accelerator()
+        try:
+            from blink.dist.mesh import init_distributed
+
+            init_distributed()  # no-op without PALLAS_AXON_POOL_IPS
+        except Exception as e:  # never fail the bench on pool plumbing
+            sys.stderr.write(f"multi-host init skipped: {e!r}\n")
 
     from blink.api import build_scene
     from blink.benchmarks.harness import bench_primary_traversal, roofline
@@ -197,9 +226,47 @@ def main() -> int:
         "n_chunks": fwd["n_chunks"],
         "roofline": roofline(scene.n_triangles, fwd["rays_per_s"]),
     }
-    if not fast:
-        detail["fwd_bwd"] = _fwd_bwd(scene, min(size, 512))
-        detail["grad_allclose"] = _grad_allclose_probe()
+    degraded = os.environ.get("BLINK_BENCH_CPU_FALLBACK") == "1"
+    # The metric NAME must stay honest when the fallback shrinks the
+    # workload (VERDICT r2 weak #2): a 46k-tri CPU run is not the 1M-tri
+    # chip headline and must not be recorded under its name.
+    metric = ("primary_rays_per_sec_fwd_cpu_fallback" if degraded
+              else "primary_rays_per_sec_fwd_1mtri")
+    result = {
+        "metric": metric,
+        "value": fwd["rays_per_s"],
+        "unit": "rays/s/chip",
+        "vs_baseline": fwd["rays_per_s"] / TARGET_RAYS_PER_S,
+        "degraded": degraded,
+        "detail": detail,
+    }
+    # The headline is safe from this point on: printed + mirrored NOW,
+    # before any extra can hang or run out the clock (VERDICT r3 #1).
+    _emit(result)
+
+    if not fast and _remaining() > 240:
+        try:
+            fb = _fwd_bwd(scene, size)  # FULL size (VERDICT r3 ask #5)
+            detail["fwd_bwd"] = fb
+            result["rays_per_s_fwd_bwd"] = fb["rays_per_s_fwd_bwd"]
+            # Regression guard for the r3 backward win (VERDICT r3 #9):
+            # geometry backward must stay <= 2.0x forward. Warn-only on
+            # CPU fallback; on chip a breach is flagged in the line.
+            ratio = fb["bwd_over_fwd_geometry"]
+            result["bwd_over_fwd_geometry"] = ratio
+            if ratio > 2.0:
+                result["bwd_guard"] = f"BREACH: bwd/fwd geometry {ratio:.2f} > 2.0"
+                sys.stderr.write(result["bwd_guard"] + "\n")
+            _emit(result)
+        except Exception as e:
+            detail["fwd_bwd"] = {"skipped": True, "reason": repr(e)[:200]}
+    if not fast and _remaining() > 120:
+        try:
+            detail["grad_allclose"] = _grad_allclose_probe()
+            _emit(result)
+        except Exception as e:
+            detail["grad_allclose"] = {"skipped": True, "reason": repr(e)[:200]}
+    if not fast and _remaining() > 60:
         # Scaling points need the 8-virtual-device CPU mesh, which must be
         # configured before backend init — run in a subprocess.
         import subprocess
@@ -215,7 +282,8 @@ def main() -> int:
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True,
+                timeout=max(60, min(900, _remaining() - 10)),
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             detail["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -224,21 +292,7 @@ def main() -> int:
                 "skipped": True,
                 "reason": f"{type(e).__name__}: {str(e)[:160]}",
             }
-    degraded = os.environ.get("BLINK_BENCH_CPU_FALLBACK") == "1"
-    # The metric NAME must stay honest when the fallback shrinks the
-    # workload (VERDICT r2 weak #2): a 46k-tri CPU run is not the 1M-tri
-    # chip headline and must not be recorded under its name.
-    metric = ("primary_rays_per_sec_fwd_cpu_fallback" if degraded
-              else "primary_rays_per_sec_fwd_1mtri")
-    result = {
-        "metric": metric,
-        "value": fwd["rays_per_s"],
-        "unit": "rays/s/chip",
-        "vs_baseline": fwd["rays_per_s"] / TARGET_RAYS_PER_S,
-        "degraded": degraded,
-        "detail": detail,
-    }
-    print(json.dumps(result))
+        _emit(result)
     return 0
 
 
