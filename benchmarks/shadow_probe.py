@@ -110,8 +110,8 @@ def main() -> None:
     # --- coherence-sort variants: reorder the REAL rays so each packed
     # 1024-ray cull group covers a compact origin cluster, then scatter
     # blocked back. Measures END-TO-END (key+argsort+gathers+walk+scatter).
-    lo = jnp.min(scene.triangles.v0, axis=0)
-    hi = jnp.max(scene.triangles.v0, axis=0)
+    lo = jnp.min(scene.triangles.verts, axis=0)
+    hi = jnp.max(scene.triangles.verts, axis=0)
 
     def _part1by2(x):
         x = x & 0x3FF

@@ -34,6 +34,13 @@ from blink.scene.scene import Scene
 
 Array = jnp.ndarray
 
+#: Relative depth tolerance for the conditional opaque background: candidate
+#: layers whose plane hits all lie within this fraction of the nearest one
+#: are treated as one continuous surface (interior edge / adjacent facets)
+#: and composite against an opaque far layer; larger gaps are true
+#: silhouette layerings and keep the black background (see _mesh_soft_radiance).
+OPAQUE_T_REL = 0.08
+
 
 def _sphere_soft_terms(o: Array, d: Array, scene: Scene, sigma: float):
     """Per-ray soft coverage of the nearest relevant sphere.
@@ -142,6 +149,7 @@ def _mesh_soft_radiance(
     o: Array, d: Array, keys: Array, scene: Scene, backend,
     deterministic: bool, sigma: float, hw: tuple[int, int], hit,
     residual_radiance: Array | None = None,
+    opaque_last: bool = True,
 ) -> Array:
     """SoftRas-lite soft radiance over neighbor-candidate triangles.
 
@@ -238,6 +246,31 @@ def _mesh_soft_radiance(
     A = A[rows, order]
     T = T[rows, order]
     Pr = Pr[rows, order]
+    if opaque_last:
+        # CONDITIONAL opaque background: when every valid candidate lies
+        # on (nearly) the same depth — the coplanar/adjacent-facet case
+        # whose leftover transmittance created the interior-edge phantom
+        # seam (34fb0fb's motivation) — force the furthest valid layer
+        # opaque so the pixel reconstructs exactly (a*L + (1-a)*L = L,
+        # zero phantom flux). TRUE silhouettes (large depth gap between
+        # candidate layers, or a single candidate against the void) keep
+        # the black background: their partial-coverage response is the
+        # SoftRas translation signal, and measurably removing it flips
+        # mesh-offset recovery from converging to diverging
+        # (benchmarks/soft_regress_probe{,3}.py: residual=hard,
+        # residual=sg(hard) and unconditional opaque-last ALL diverge
+        # 0.058 -> ~0.6 while black-background converges to 0.007; the
+        # unconditional forms fix the camera ratio instead).
+        valid = T < 1e29
+        nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+        kidx = jnp.arange(len(dedup))[None, :]
+        is_last = (kidx == (nvalid - 1)[:, None]) & valid
+        t_first = T[:, 0]
+        t_last = jnp.sum(jnp.where(is_last, T, 0.0), axis=1)
+        coplanar = (nvalid > 1) & (
+            t_last <= t_first * (1.0 + OPAQUE_T_REL) + RAY_EPS
+        )
+        A = jnp.where(is_last & coplanar[:, None], 1.0, A)
 
     soft = jnp.zeros((n, 3), A.dtype)
     trans = jnp.ones((n,), A.dtype)
@@ -290,10 +323,24 @@ def li_direct_soft(
         soft = alpha[:, None] * l_sph + (1.0 - alpha[:, None]) * l_bg
         out = out + (soft - jax.lax.stop_gradient(soft))
     if hw is not None and scene.n_triangles > 0:
-        hit = backend.intersect(o, d, scene)
+        # The mesh-soft term is a GEOMETRY-gradient estimator (tri_verts
+        # silhouettes). Camera parameters are stop-gradiented out of it:
+        # camera-visibility flux through the candidate blends measurably
+        # explodes (soft cam AD -89 vs FD 0.21, the 34fb0fb incident) and
+        # every weight-renormalizing remedy (hard residual, sg residual,
+        # opaque far layer, coplanar-gated opaque) flips mesh-offset
+        # recovery from converging to diverging instead — see
+        # benchmarks/soft_regress_probe{,2,3}.py for the A/B record.
+        # Camera pose/fov gradients flow through the hard estimator's
+        # shading terms and the sphere-soft term (tests
+        # test_fit_recovers_camera_look_at / _sane), which keeps both
+        # capabilities green with ONE estimator.
+        o_m = jax.lax.stop_gradient(o)
+        d_m = jax.lax.stop_gradient(d)
+        hit = backend.intersect(o_m, d_m, scene)
         soft_m = _mesh_soft_radiance(
-            o, d, keys, scene, backend, deterministic, sigma, hw, hit,
-            residual_radiance=hard,
+            o_m, d_m, keys, scene, backend, deterministic, sigma, hw, hit,
+            residual_radiance=None, opaque_last=False,
         )
         out = out + (soft_m - jax.lax.stop_gradient(soft_m))
     return out

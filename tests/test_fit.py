@@ -6,6 +6,7 @@ Albedo recovery exercises the smooth part of the differentiation layer
 needs silhouette (visibility-edge) gradients — provided by the soft-
 visibility mode (blink.diff.soft) — and is tested in test_fit_positions.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,6 +85,7 @@ def test_fit_resume_continues(tmp_path):
     assert h2[-1] <= h1[0]
 
 
+@pytest.mark.smoke
 def test_fit_recovers_sphere_positions_soft():
     """Config 3 proper (BASELINE.json:9): sphere POSITION recovery.
 
@@ -120,6 +122,7 @@ def test_fit_recovers_sphere_positions_soft():
     assert err1 < err0 * 0.6, (err0, err1)
 
 
+@pytest.mark.smoke
 def test_fit_recovers_mesh_offset_soft():
     """Mesh silhouette gradients (VERDICT r1 #7; BASELINE.json:5
     'differentiable w.r.t. geometry'): recover a rigid translation of the
@@ -221,6 +224,7 @@ def test_fit_recovers_camera_look_at():
     assert e1 < e0 * 0.15, (e0, e1)
 
 
+@pytest.mark.smoke
 def test_soft_mesh_camera_gradient_sane():
     """Regression guard for the interior-edge phantom-flux bug: with a
     BLACK residual layer, coplanar triangle pairs (quad diagonals) left

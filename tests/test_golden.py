@@ -1,6 +1,7 @@
 """Golden-image tests: the JAX renderer (brute backend, deterministic mode)
 vs the independent numpy CPU oracle, allclose atol 1e-4 on the Cornell
 config (SURVEY.md §4.4; BASELINE.json:5,7)."""
+import pytest
 import numpy as np
 
 from blink.api import build_scene
@@ -9,6 +10,7 @@ from blink.ref.renderer import ref_render
 from blink.render.api import render
 
 
+@pytest.mark.smoke
 def test_cornell_matches_numpy_oracle():
     cfg = get_config("cornell").override(
         width=64, height=64, deterministic=True, backend="brute"
@@ -47,6 +49,7 @@ def test_spp_accumulation_reduces_noise():
     assert e4 < e1  # more samples -> closer to the converged image
 
 
+@pytest.mark.smoke
 def test_cornell_matches_committed_golden():
     """Regression vs the COMMITTED golden (catches both implementations
     drifting together — the runtime-oracle test alone cannot)."""

@@ -2,6 +2,7 @@
 on CPU (SURVEY.md §4.3, §5 "race detection" analog: interpret=True shakes
 out out-of-bounds indexing before Mosaic compilation). On-chip parity lives
 in tests/tpu/test_pallas_parity.py."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,6 +152,7 @@ def test_wide_rowgate_parity_interpret():
     np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
 
 
+@pytest.mark.smoke
 def test_wide_quant_parity_interpret():
     """Quantized-child WideBVH (u8 boxes + per-node dequant frames,
     bvh.wide._quantize_children) == reference. Quantized boxes are only
