@@ -106,6 +106,42 @@ def _fwd_bwd(scene, size: int):
     }
 
 
+def _config_probe(preset: str, scene, spp: int | None = None,
+                  note: str | None = None):
+    """Time one jitted render of a named BASELINE config on the prebuilt
+    1M scene; reports camera-samples/s and device memory."""
+    import jax
+
+    from blink.benchmarks.harness import _time_sustained as _time
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+    from blink.render.api import render
+
+    cfg = get_config(preset).override(backend="pallas")
+    if spp is not None:
+        cfg = cfg.override(spp=spp)
+    backend = make_backend("pallas", scene)
+    dt = _time(lambda: render(scene, cfg, backend))
+    samples = cfg.width * cfg.height * cfg.spp
+    out = {
+        "preset": preset,
+        "image": [cfg.width, cfg.height],
+        "spp": cfg.spp,
+        "integrator": cfg.integrator,
+        "max_depth": cfg.max_depth,
+        "wall_s": dt,
+        "camera_samples_per_s": samples / dt,
+    }
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        out["peak_bytes_in_use"] = int(ms.get("peak_bytes_in_use", 0))
+    except Exception:
+        pass
+    if note:
+        out["note"] = note
+    return out
+
+
 def _grad_allclose_probe():
     """FD-vs-AD on albedo (linear => exact) at f32-safe tolerances."""
     import jax
@@ -266,6 +302,25 @@ def main() -> int:
             _emit(result)
         except Exception as e:
             detail["grad_allclose"] = {"skipped": True, "reason": repr(e)[:200]}
+    if not fast and _remaining() > 300:
+        # Config 4 literal (BASELINE.json:10): path depth 4, 16 spp,
+        # textured, on the 1M scene at the preset 512^2.
+        try:
+            detail["config4"] = _config_probe("sponza", scene)
+            _emit(result)
+        except Exception as e:
+            detail["config4"] = {"skipped": True, "reason": repr(e)[:200]}
+    if not fast and _remaining() > 300:
+        # Config 5's per-chip unit (BASELINE.json:11): one 4096^2 spp-1
+        # path pass (the pod render is 64 such passes sharded over hosts;
+        # spp accumulation is linear, so the unit measures the chip rate).
+        try:
+            detail["config5_unit"] = _config_probe(
+                "pod", scene, spp=1, note="one spp pass of the 4096^2x64spp"
+                " pod shape; full render = 64 passes + psum")
+            _emit(result)
+        except Exception as e:
+            detail["config5_unit"] = {"skipped": True, "reason": repr(e)[:200]}
     if not fast and _remaining() > 60:
         # Scaling points need the 8-virtual-device CPU mesh, which must be
         # configured before backend init — run in a subprocess.

@@ -112,6 +112,24 @@ def bounce_key(pk: Array, bounce) -> Array:
     return fold(pk, bounce)
 
 
+#: Namespace constant separating block streams from pixel streams (folded
+#: in first, so block id b can never alias pixel id p's stream).
+_BLOCK_NS = 0xB10C_B10C
+
+
+def block_key(seed_key, block_id: Array, sample_idx) -> Array:
+    """Key for one (image-block, spp-sample) stream: shape (2,).
+
+    Image-space blocks (4 rows x 32 cols — the pixel footprint of one
+    128-lane kernel row in the tiled layout) share one NEE light sample
+    for shadow-packet coherence (render.integrators.NEE_SHARE_ROW). Keyed
+    by absolute block id + sample, NOT by ray order: radiance stays
+    identical under any sharding, compaction, or tile permutation (the
+    sampler's order-independence invariant)."""
+    return fold(fold(fold(_seed_key(seed_key), _BLOCK_NS), block_id),
+                sample_idx)
+
+
 def _to_unit(h: Array) -> Array:
     """uint32 -> [0, 1) float32 using the top 24 bits (exact in f32)."""
     return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))

@@ -37,9 +37,12 @@ def generate_rays(
     the distributed renderer to generate only this shard's rays, and by
     the tiled pallas path). Default: every pixel in row-major order.
 
-    Returns (o, d, pixel_keys): o/d (N, 3) with d unit length, and the
-    per-(pixel, sample) RNG keys for downstream sampling dimensions —
-    keyed by absolute pixel id, so any sharding/permutation renders
+    Returns (o, d, keys): o/d (N, 3) with d unit length, and (N, 4)
+    uint32 RNG keys for downstream sampling dimensions — columns 0:2 the
+    per-(pixel, sample) stream, columns 2:4 the per-(image-block, sample)
+    stream (4x32-pixel blocks; shared NEE light samples for shadow-packet
+    coherence, see sampler.block_key). Both are keyed by absolute
+    pixel/block ids, so any sharding/permutation/compaction renders
     exactly the same image (BASELINE.json:5 reproducibility).
     """
     if pixel_id is None:
@@ -53,8 +56,18 @@ def generate_rays(
     pixel_keys = jax.vmap(
         lambda p, s: sampler.pixel_key(seed_key, p, s)
     )(pixel_id, sidx)
+    nbx = -(-width // 32)
+    block_id = (pixel_id // jnp.uint32(width)) // jnp.uint32(4) * jnp.uint32(
+        nbx
+    ) + (pixel_id % jnp.uint32(width)) // jnp.uint32(32)
+    block_keys = jax.vmap(
+        lambda b, s: sampler.block_key(seed_key, b, s)
+    )(block_id, sidx)
+    pixel_keys = jnp.concatenate([pixel_keys, block_keys], axis=-1)
     if jitter:
-        uv = jax.vmap(lambda k: sampler.uniform(k, (2,), dim=0))(pixel_keys)
+        uv = jax.vmap(lambda k: sampler.uniform(k, (2,), dim=0))(
+            pixel_keys[..., :2]
+        )
         jx, jy = uv[:, 0], uv[:, 1]
     else:
         jx = jnp.full((n,), 0.5, jnp.float32)

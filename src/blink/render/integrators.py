@@ -32,6 +32,12 @@ Array = jnp.ndarray
 RAY_EPS = 1e-3
 
 
+#: stochastic NEE light samples are shared per 128-ray row (the kernel's
+#: lane width) for shadow-packet coherence — see nee_direct. Module-level
+#: switch (not cfg) because it changes only noise correlation, never the
+#: estimator's expectation; flip for variance experiments.
+NEE_SHARE_ROW = True
+
 #: fixed barycentrics that place a triangle-light sample at its centroid
 #: (u1 = 4/9, u2 = 1/2 under the sqrt warp). Used by deterministic mode and
 #: mirrored exactly by the numpy oracle (blink.ref.renderer).
@@ -115,7 +121,26 @@ def nee_direct(
                 scene, geom, backend, light, u1, u2, light_rows
             )
         return total
-    bk = jax.vmap(lambda k: sampler.bounce_key(k, bounce))(keys)
+    if NEE_SHARE_ROW and keys.shape[-1] >= 4:
+        # Shadow-ray coherence (VERDICT r3 ask #4): draw the light sample
+        # (choice + area uvs) from the per-IMAGE-BLOCK stream (keys[2:4],
+        # sampler.block_key: 4x32-pixel blocks = one 128-lane kernel
+        # row's footprint) — one shared target per block, so each row's
+        # shadow packet is a coherent cone toward one light point.
+        # Unbiased: the sample is drawn independently of each ray's own
+        # position, so every ray's estimate is a valid single-sample NEE
+        # estimate; only the noise correlates within a block
+        # (decorrelated across spp samples and bounces). Keyed by
+        # absolute block id, NOT ray order: radiance is unchanged by
+        # sharding/compaction/tile permutation. Measured on chip
+        # (benchmarks/shadow_probe.py, 512^2/1M): per-ray targets
+        # 2.51 Mrays/s vs one-point 9.57 / det-light 8.11 — direction
+        # spread is the entire 12x incoherent-shadow gap;
+        # Morton-sorting origins does nothing (2.36).
+        stream = keys[..., 2:4]
+    else:
+        stream = keys[..., :2]
+    bk = jax.vmap(lambda k: sampler.bounce_key(k, bounce))(stream)
     u = jax.vmap(lambda k: sampler.uniform(k, (3,), dim=0))(bk)
     light = jnp.minimum(
         jnp.asarray(u[:, 0] * n_lights, jnp.int32), n_lights - 1
@@ -176,7 +201,7 @@ def li_path(
         radiance = radiance + jnp.where(alive[..., None], beta * nee, 0.0)
 
         # Cosine-sample the next direction; f*cos/pdf = albedo exactly.
-        bk = jax.vmap(lambda k: sampler.bounce_key(k, b))(keys)
+        bk = jax.vmap(lambda k: sampler.bounce_key(k, b))(keys[..., :2])
         u = jax.vmap(lambda k: sampler.uniform(k, (2,), dim=1))(bk)
         new_d = sample_cosine(geom.n, u[:, 0], u[:, 1])
         new_o = geom.p + geom.n * RAY_EPS

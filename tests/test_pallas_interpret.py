@@ -16,6 +16,7 @@ from blink.kernels.traverse_pallas import (
 from tests.test_bvh import _random_rays, _random_tris
 
 
+@pytest.mark.smoke
 def test_closest_parity_interpret():
     for seed, ntri in [(0, 64), (1, 700)]:
         tris = _random_tris(ntri, seed)
@@ -152,7 +153,6 @@ def test_wide_rowgate_parity_interpret():
     np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
 
 
-@pytest.mark.smoke
 def test_wide_quant_parity_interpret():
     """Quantized-child WideBVH (u8 boxes + per-node dequant frames,
     bvh.wide._quantize_children) == reference. Quantized boxes are only
