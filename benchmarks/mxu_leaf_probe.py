@@ -36,10 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NL = 256          # resident distinct leaves
-NV = 4096         # visits timed per kernel launch
+import os
+
+NL = int(os.environ.get("MXU_NL", "256"))   # resident distinct leaves
+NV = int(os.environ.get("MXU_NV", "4096"))  # visits timed per launch
 R = 1024          # rays per group (8 sublane-rows x 128 lanes)
 C = 32            # tris per leaf
+INTERPRET = os.environ.get("MXU_INTERPRET", "") == "1"
 EPS_BF16 = 2.0 ** -8
 
 
@@ -84,6 +87,11 @@ def make_data(seed=0):
     # MXU layouts: per leaf, columns grouped [U(32)|V(32)|T(32)|D(32)]
     Ag = A.reshape(NL, C, 16, 4).transpose(0, 2, 3, 1)  # (NL,16,4,C)
     A_mxu = Ag.reshape(NL, 16, 4 * C)                   # col = out*32+tri
+    # 4-leaf batched layout: [U of 4 leaves (128) | V(128) | T(128) | D(128)]
+    # so every epilogue slice is a full 128-lane tile.
+    A4 = (A.reshape(NL // 4, 4, C, 16, 4)
+          .transpose(0, 3, 4, 1, 2)          # (NL/4,16,4out,4leaf,C)
+          .reshape(NL // 4, 16, 4 * 4 * C))
     # tri scalar planes for the VPU replica: (NL*C, 9) v0/e1/e2
     tri9 = np.concatenate([v0, e1, e2], axis=1)
     # ray planes (8,128) per coordinate
@@ -91,6 +99,7 @@ def make_data(seed=0):
     dp = d.reshape(8, 128, 3).transpose(2, 0, 1).copy()
     return dict(
         A_mxu=jnp.asarray(A_mxu.reshape(NL * 16, 4 * C)),
+        A_mxu4=jnp.asarray(A4.reshape(NL // 4 * 16, 16 * C)),
         f=jnp.asarray(f),
         tri9=jnp.asarray(tri9),
         op=jnp.asarray(op), dp=jnp.asarray(dp),
@@ -149,6 +158,7 @@ def make_vpu(t_min=1e-3):
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=INTERPRET,
         )(op, dp, tri_pad)
 
     return run
@@ -163,26 +173,26 @@ def make_mxu(dtype, batch=1, mm_only=False):
         if dtype == "bf16":
             fb = fb.astype(jnp.bfloat16)
         acc = jnp.zeros((8, 128), jnp.float32)
+        n_groups = NL // batch
 
         def visit(i, acc):
-            leaf = (i * batch) % NL
-            a = a_ref[pl.ds(leaf * 16, 16), :][:, :K]
+            g = i % n_groups
+            a = a_ref[pl.ds(g * 16, 16), :]
             if dtype == "bf16":
                 a = a.astype(jnp.bfloat16)
             out = jnp.dot(fb, a, preferred_element_type=jnp.float32)
             if mm_only:
                 return acc + out[:8, :128]
-            if batch == 1:
-                u, v, t, dd = (out[:, 0:32], out[:, 32:64],
-                               out[:, 64:96], out[:, 96:128])
-            else:
-                u, v, t, dd = (out[:, 0:128], out[:, 128:256],
-                               out[:, 256:384], out[:, 384:512])
+            q = K // 4  # columns per output group
+            u, v, t, dd = (out[:, 0:q], out[:, q:2 * q],
+                           out[:, 2 * q:3 * q], out[:, 3 * q:4 * q])
             ok = _epilogue(u, v, t, dd, 1e4)
             # per-row any-survivor reduce at 8-tri granularity: the gate
             # for the exact VPU re-test (production integration shape).
             okf = ok.astype(jnp.float32)
-            red = jnp.max(okf.reshape(R // 8, 8, okf.shape[1]), axis=1)
+            red = jnp.max(okf.reshape(R // 8, 8, q), axis=1)
+            if q < 128:
+                red = jnp.concatenate([red] * (128 // q), axis=1)
             return acc + red[:8, :128]
 
         acc = jax.lax.fori_loop(0, NV // batch, visit, acc)
@@ -195,6 +205,7 @@ def make_mxu(dtype, batch=1, mm_only=False):
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=INTERPRET,
         )(f, a_mxu)
 
     return run
@@ -261,9 +272,9 @@ def main():
         "vpu": (make_vpu(), (data["op"], data["dp"], data["tri9"])),
         "mxu_f32": (make_mxu("f32"), (data["f"], data["A_mxu"])),
         "mxu_bf16": (make_mxu("bf16"), (data["f"], data["A_mxu"])),
-        "mxu_bf16x4": (make_mxu("bf16", batch=4), (data["f"], data["A_mxu"])),
+        "mxu_bf16x4": (make_mxu("bf16", batch=4), (data["f"], data["A_mxu4"])),
         "mm_only": (make_mxu("bf16", batch=4, mm_only=True),
-                    (data["f"], data["A_mxu"])),
+                    (data["f"], data["A_mxu4"])),
     }
     for name, (f, args) in runs.items():
         try:

@@ -25,14 +25,25 @@ def _time(fn, *args, warmup: int = 1, iters: int = 3) -> float:
     (benchmarks/dispatch_gap_probe.py) that back-to-back frames never
     pay. Use _time_sustained for throughput metrics."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _host_checksum(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _host_checksum(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def _host_checksum(r) -> float:
+    """Force REAL completion: reduce the first output leaf on device and
+    read the scalar to the host. block_until_ready alone has returned
+    instantly in a broken transient relay state (the round-3 fake-0.15ms
+    incident, docs/PERF_NOTES.md 'Timing trap'); a device->host scalar
+    read cannot fake-complete. Costs one tiny reduce + scalar RPC,
+    amortized over the reps of a timed batch."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
 
 
 def _time_sustained(fn, *args, warmup: int = 1, reps: int = 5,
@@ -45,14 +56,14 @@ def _time_sustained(fn, *args, warmup: int = 1, reps: int = 5,
     RPC latency at identical device-side work
     (benchmarks/dispatch_gap_probe.py, 2026-08-19)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _host_checksum(fn(*args))
     per_call = []
     for _ in range(batches):
         t0 = time.perf_counter()
         r = None
         for _ in range(reps):
             r = fn(*args)
-        jax.block_until_ready(r)
+        _host_checksum(r)  # real-completion guard, see _host_checksum
         per_call.append((time.perf_counter() - t0) / reps)
     per_call.sort()
     return per_call[len(per_call) // 2]
