@@ -16,6 +16,13 @@ Variants (all loop NV visits over NL distinct resident leaf tables):
              slices are full 128-lane (1024,128) tiles
   mm_only    the bf16x4 matmul with a trivial epilogue (separates matmul
              cost from epilogue cost)
+  vpu_h      VPU variant testing only the first 16 tris per visit (the
+             half-work baseline for the hybrid)
+  hybrid     16 tris on the VPU + 16 tris via a (1024,16)x(16,64) bf16
+             matmul per visit — measures whether Mosaic overlaps the
+             scalar-broadcast VPU chain with MXU issue. If hybrid ~=
+             max(vpu_h, mxu/2) the units overlap and a split leaf stage
+             is a ~2x lever; if ~= vpu_h + mxu/2 they serialize.
 
 Prints ns/visit and Gtests/s. A separate jnp-level pass checks the bf16
 prefilter's conservativeness on real scene triangles: with the rank-1
@@ -92,6 +99,13 @@ def make_data(seed=0):
     A4 = (A.reshape(NL // 4, 4, C, 16, 4)
           .transpose(0, 3, 4, 1, 2)          # (NL/4,16,4out,4leaf,C)
           .reshape(NL // 4, 16, 4 * 4 * C))
+    # hybrid: MXU table for the SECOND 16 tris of each leaf,
+    # columns [U(16)|V(16)|T(16)|D(16)]
+    Ah = (A.reshape(NL, C, 16, 4)[:, C // 2:]
+          .transpose(0, 2, 3, 1)               # (NL,16,4,C/2)
+          .reshape(NL, 16, 4 * (C // 2)))
+    Ah = np.concatenate(
+        [Ah, np.zeros((NL, 16, 128 - 4 * (C // 2)), np.float32)], axis=2)
     # tri scalar planes for the VPU replica: (NL*C, 9) v0/e1/e2
     tri9 = np.concatenate([v0, e1, e2], axis=1)
     # ray planes (8,128) per coordinate
@@ -100,6 +114,7 @@ def make_data(seed=0):
     return dict(
         A_mxu=jnp.asarray(A_mxu.reshape(NL * 16, 4 * C)),
         A_mxu4=jnp.asarray(A4.reshape(NL // 4 * 16, 16 * C)),
+        A_h=jnp.asarray(Ah.reshape(NL * 16, 128)),
         f=jnp.asarray(f),
         tri9=jnp.asarray(tri9),
         op=jnp.asarray(op), dp=jnp.asarray(dp),
@@ -120,7 +135,7 @@ def _epilogue(u, v, t, dd, best):
     return ok
 
 
-def make_vpu(t_min=1e-3):
+def make_vpu(t_min=1e-3, c_vpu=C):
     from blink.kernels.traverse_pallas import _mt_tri
 
     def kernel(op_ref, dp_ref, tri_ref, out_ref):
@@ -131,7 +146,7 @@ def make_vpu(t_min=1e-3):
         def visit(i, _):
             leaf = i % NL
             bt = out_ref[...]
-            for j in range(C):
+            for j in range(c_vpu):
                 # scalar reads of the tri record (the production kernel's
                 # row-load+roll+extract chain collapses to this on SMEM;
                 # here tri9 rows live in VMEM like trow does)
@@ -211,6 +226,67 @@ def make_mxu(dtype, batch=1, mm_only=False):
     return run
 
 
+def make_hybrid(t_min=1e-3):
+    """16 tris/visit on the VPU (scalar-broadcast _mt_tri chain) + 16
+    tris/visit on the MXU ((1024,16)x(16,128) bf16 matmul, columns
+    [U|V|T|D] each 16 wide + zero pad, with the probe's accept-test
+    epilogue). One fori_loop body issues both; Mosaic decides overlap."""
+    from blink.kernels.traverse_pallas import _mt_tri
+
+    CH = C // 2
+
+    def kernel(op_ref, dp_ref, tri_ref, f_ref, a_ref, out_ref):
+        ox, oy, oz = op_ref[0], op_ref[1], op_ref[2]
+        dx, dy, dz = dp_ref[0], dp_ref[1], dp_ref[2]
+        out_ref[...] = jnp.full((8, 128), 1e30, jnp.float32)
+        fb = f_ref[...].astype(jnp.bfloat16)
+        acc = jnp.zeros((8, 128), jnp.float32)
+
+        def visit(i, acc):
+            leaf = i % NL
+            # --- MXU half: tris [16, 32) of the leaf ---
+            a = a_ref[pl.ds(leaf * 16, 16), :].astype(jnp.bfloat16)
+            out = jnp.dot(fb, a, preferred_element_type=jnp.float32)
+            u, v, t, dd = (out[:, 0:CH], out[:, CH:2 * CH],
+                           out[:, 2 * CH:3 * CH], out[:, 3 * CH:4 * CH])
+            ok = _epilogue(u, v, t, dd, 1e4)
+            okf = ok.astype(jnp.float32)
+            red = jnp.max(okf.reshape(R // 8, 8, CH), axis=1)
+            red = jnp.concatenate([red] * (128 // CH), axis=1)
+            acc = acc + red[:8, :128]
+            # --- VPU half: tris [0, 16) of the leaf ---
+            bt = out_ref[...]
+            for j in range(CH):
+                s = leaf * C + j
+                row = tri_ref[pl.ds(s, 1), :]
+                t = _mt_tri(
+                    ox, oy, oz, dx, dy, dz,
+                    row[0, 0], row[0, 1], row[0, 2],
+                    row[0, 3], row[0, 4], row[0, 5],
+                    row[0, 6], row[0, 7], row[0, 8],
+                    t_min, bt,
+                )
+                bt = jnp.minimum(bt, t)
+            out_ref[...] = bt
+            return acc
+
+        acc = jax.lax.fori_loop(0, NV, visit, acc)
+        out_ref[...] = out_ref[...] + acc
+
+    @jax.jit
+    def run(op, dp, tri9, f, a_h):
+        tri_pad = jnp.pad(tri9, ((0, 0), (0, 128 - 9)))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=INTERPRET,
+        )(op, dp, tri_pad, f, a_h)
+
+    return run
+
+
 def timeit(f, *a, reps=3):
     r = f(*a)
     chk = float(np.sum(np.asarray(r, np.float64)))
@@ -275,6 +351,11 @@ def main():
         "mxu_bf16x4": (make_mxu("bf16", batch=4), (data["f"], data["A_mxu4"])),
         "mm_only": (make_mxu("bf16", batch=4, mm_only=True),
                     (data["f"], data["A_mxu4"])),
+        "vpu_h": (make_vpu(c_vpu=C // 2),
+                  (data["op"], data["dp"], data["tri9"])),
+        "hybrid": (make_hybrid(),
+                   (data["op"], data["dp"], data["tri9"],
+                    data["f"], data["A_h"])),
     }
     for name, (f, args) in runs.items():
         try:
