@@ -91,13 +91,23 @@ def make_backend(name: str, scene: Scene) -> Backend:
             # VMEM-sized Morton chunks (a 1-element list for small
             # scenes), each collapsed to the 8-wide SMEM-node layout.
             # Production constants from the on-chip sweeps
-            # (benchmarks/quant_sweep{,2}.py, 1M tris @1024², 2026-08-19):
-            # quantized u8 child boxes (12 B/child, exact-conservative)
-            # double SMEM tree capacity, which pays for 250k-tri chunks
-            # (4 passes instead of 9) — closest 17.6 -> 20.7 Mrays/s,
-            # anyhit 32.2 -> 37.0. row_tables off: the group-mode kernels
-            # never read tbat/bref, and at these chunk sizes the batch
-            # table would not fit VMEM anyway.
+            # (benchmarks/quant_sweep{,2}.py 2026-08-19;
+            # chunk_merge_sweep.py + interleaved A/B 2026-08-20, 1M tris
+            # @1024²): quantized u8 child boxes (12 B/child,
+            # exact-conservative) double SMEM tree capacity; the
+            # chunk_tris × wide_leaf balance point is ~350k/44 (3
+            # passes) — closest 36.8 -> 31.3 ms (1.17x), anyhit 15.4 ->
+            # 12.2 ms (1.26x) vs the round-3 250k/32, exact hit parity;
+            # coarser merges (500k/48+) lose, leaf work grows faster
+            # than the walk shrinks (docs/PERF_NOTES.md round-4).
+            # chunk_tris is capped at 340k, NOT the measured 375k: the
+            # (T/12,128) trow VMEM block hits the 16 MB scoped-VMEM
+            # limit at exactly 375k tris once the pallas_call sits
+            # inside render_image's spp loop (measured OOM-by-12KB,
+            # 2026-08-20); 340k leaves ~1.5 MB margin and the same 3
+            # balanced passes. row_tables off:
+            # the group-mode kernels never read tbat/bref, and at these
+            # chunk sizes the batch table would not fit VMEM anyway.
             # Chunk passes run near-to-far from the BUILD-TIME camera
             # origin: the sequential best-t threading then prunes later
             # chunks against a tight bound for primary rays (exact for
@@ -109,8 +119,8 @@ def make_backend(name: str, scene: Scene) -> Backend:
             return Backend(
                 name=name,
                 bvh=build_chunked_wide(
-                    scene.triangles, chunk_tris=250_000, quant=True,
-                    row_tables=False, order_from=cam_o,
+                    scene.triangles, chunk_tris=340_000, wide_leaf=44,
+                    quant=True, row_tables=False, order_from=cam_o,
                 ),
                 shade=shade,
             )
