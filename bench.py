@@ -33,7 +33,13 @@ TARGET_RAYS_PER_S = 1e9
 #: starting so a slow extra can never eat the already-measured headline
 #: (VERDICT r3 weak #3). The headline JSON is printed+flushed the moment
 #: it exists; extras only ENRICH a re-printed final line.
-_DEADLINE = time.monotonic() + float(os.environ.get("BLINK_BENCH_DEADLINE_S", "1500"))
+#: Default calibrated to the r4 driver evidence (VERDICT r4 weak #3): the
+#: r4 run completed rc=0 with fwd_bwd landing at ~23 min of its own 25-min
+#: budget — the 1500 s self-deadline, not the driver window, was what
+#: skipped the remaining stages. 2700 s gives the cheap stages room; every
+#: stage still emits the moment it finishes, so an external kill loses
+#: only the stage in flight.
+_DEADLINE = time.monotonic() + float(os.environ.get("BLINK_BENCH_DEADLINE_S", "2700"))
 
 
 def _remaining() -> float:
@@ -282,56 +288,51 @@ def main() -> int:
     # before any extra can hang or run out the clock (VERDICT r3 #1).
     _emit(result)
 
+    #: the one KNOWN transient failure signature (axon remote-compile HTTP
+    #: channel dropping mid-compile, 2026-08-20). Deterministic failures
+    #: (OOM, shape errors) must NOT be re-run — a retry would burn deadline
+    #: budget on a guaranteed second failure (ADVICE r4).
+    _TRANSIENT = "response body closed before all bytes were read"
+
     def _retry_once(fn):
-        """One retry for transient relay failures: the axon remote-compile
-        HTTP channel has dropped mid-compile ('response body closed before
-        all bytes were read', 2026-08-20) on compiles that succeed when
-        simply re-issued. Only retry while deadline budget remains."""
+        """One retry, only for the known transient relay-drop signature and
+        only while deadline budget remains."""
         try:
             return fn()
         except Exception as e:
-            if _remaining() < 240:
+            if _TRANSIENT not in str(e) or _remaining() < 240:
                 raise
             sys.stderr.write(f"transient failure, retrying once: {e!r:.200}\n")
             return fn()
 
-    if not fast and _remaining() > 240:
-        try:
-            fb = _retry_once(lambda: _fwd_bwd(scene, size))  # FULL size (r3 #5)
-            detail["fwd_bwd"] = fb
-            result["rays_per_s_fwd_bwd"] = fb["rays_per_s_fwd_bwd"]
-            # Regression guard for the r3 backward win (VERDICT r3 #9):
-            # geometry backward must stay within the spec's <=3x bound
-            # (BASELINE "backward at speed-of-light"). Calibration note:
-            # r3 measured 1.29x at 512^2; the r4 shadow-coherence work
-            # doubled FORWARD speed, so the same absolute backward delta
-            # (~42 ms per 512^2-frame-equivalent, unchanged) now reads as
-            # ~2.7x of the faster forward — the guard tracks the spec
-            # bound, not the old denominator.
-            ratio = fb["bwd_over_fwd_geometry"]
-            result["bwd_over_fwd_geometry"] = ratio
-            if ratio > 3.0:
-                result["bwd_guard"] = f"BREACH: bwd/fwd geometry {ratio:.2f} > 3.0"
-                sys.stderr.write(result["bwd_guard"] + "\n")
-            _emit(result)
-        except Exception as e:
-            detail["fwd_bwd"] = {"skipped": True, "reason": repr(e)[:200]}
-    if not fast and _remaining() > 120:
-        try:
-            detail["grad_allclose"] = _grad_allclose_probe()
-            _emit(result)
-        except Exception as e:
-            detail["grad_allclose"] = {"skipped": True, "reason": repr(e)[:200]}
-    if not fast and _remaining() > 300:
+    def _stage_fwd_bwd():
+        fb = _retry_once(lambda: _fwd_bwd(scene, size))  # FULL size (r3 #5)
+        result["rays_per_s_fwd_bwd"] = fb["rays_per_s_fwd_bwd"]
+        # Regression guard (VERDICT r3 #9 / r4 weak #2): geometry backward
+        # vs forward. Two bounds: the spec's <=3x ("backward at
+        # speed-of-light") is a hard breach; best-measured x 1.15 is the
+        # regression line so quiet slide inside the spec bound still
+        # trips the guard (VERDICT r4 ask #3).
+        ratio = fb["bwd_over_fwd_geometry"]
+        result["bwd_over_fwd_geometry"] = ratio
+        best_measured = 2.76  # BENCH_r04 (update when backward work lands)
+        if ratio > 3.0:
+            result["bwd_guard"] = f"BREACH: bwd/fwd geometry {ratio:.2f} > 3.0"
+            sys.stderr.write(result["bwd_guard"] + "\n")
+        elif ratio > best_measured * 1.15:
+            result["bwd_guard"] = (
+                f"REGRESSION: bwd/fwd geometry {ratio:.2f} > "
+                f"{best_measured}x1.15 (best measured x 1.15)"
+            )
+            sys.stderr.write(result["bwd_guard"] + "\n")
+        return fb
+
+    def _stage_config4():
         # Config 4 literal (BASELINE.json:10): path depth 4, 16 spp,
         # textured, on the 1M scene at the preset 512^2.
-        try:
-            detail["config4"] = _retry_once(
-                lambda: _config_probe("sponza", scene))
-            _emit(result)
-        except Exception as e:
-            detail["config4"] = {"skipped": True, "reason": repr(e)[:200]}
-    if not fast and _remaining() > 300:
+        return _retry_once(lambda: _config_probe("sponza", scene))
+
+    def _stage_config5():
         # Config 5's per-chip unit (BASELINE.json:11): the pod render is
         # 4096^2 x 64 spp with rays/tiles sharded over N hosts — each
         # chip's unit of work per spp pass is its row shard (4096 x
@@ -339,16 +340,13 @@ def main() -> int:
         # wall-clock = 64 passes x this / scaling-efficiency + one psum.
         # (A full 4096^2 single-chip compile blew the round-4 bench
         # budget — the shard IS the honest per-chip unit.)
-        try:
-            detail["config5_unit"] = _retry_once(lambda: _config_probe(
-                "pod", scene, spp=1, height=4096 // 8,
-                note="per-chip row shard (4096x512) of one spp pass of "
-                "the 4096^2x64spp pod render; full pod = 64 passes "
-                "sharded over 8 chips + materials/lights grad psum"))
-            _emit(result)
-        except Exception as e:
-            detail["config5_unit"] = {"skipped": True, "reason": repr(e)[:200]}
-    if not fast and _remaining() > 60:
+        return _retry_once(lambda: _config_probe(
+            "pod", scene, spp=1, height=4096 // 8,
+            note="per-chip row shard (4096x512) of one spp pass of "
+            "the 4096^2x64spp pod render; full pod = 64 passes "
+            "sharded over 8 chips + materials/lights grad psum"))
+
+    def _stage_scaling():
         # Scaling points need the 8-virtual-device CPU mesh, which must be
         # configured before backend init — run in a subprocess.
         import subprocess
@@ -361,20 +359,48 @@ def main() -> int:
             "from blink.benchmarks.harness import bench_scaling;"
             "print(json.dumps(bench_scaling()))"
         )
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True, text=True,
-                timeout=max(60, min(900, _remaining() - 10)),
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            detail["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
-        except Exception as e:  # never fail the headline on the side dish
-            detail["scaling"] = {
-                "skipped": True,
-                "reason": f"{type(e).__name__}: {str(e)[:160]}",
-            }
-        _emit(result)
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            timeout=max(60, min(900, _remaining() - 10)),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # Enrichment stages, cheap-first after the headline (VERDICT r4 ask
+    # #2): grad_allclose is ~2 small compiles; fwd_bwd is the BASELINE
+    # metric of record (rays/s fwd+bwd) so it outranks the remaining
+    # cheaper stages; config4 is the named headline scene config that has
+    # never landed in a driver artifact; scaling is a CPU subprocess that
+    # loses nothing by running last. Every stage emits the updated result
+    # line (and mirrors BENCH_SELF.json) the moment it completes, and a
+    # stage that is skipped — by deadline or by error — records WHY in
+    # detail and emits that too, so the artifact always explains itself.
+    stages = [
+        ("grad_allclose", 120, _grad_allclose_probe),
+        ("fwd_bwd", 240, _stage_fwd_bwd),
+        ("config4", 300, _stage_config4),
+        ("config5_unit", 300, _stage_config5),
+        ("scaling", 60, _stage_scaling),
+    ]
+    if not fast:
+        for name, budget_s, fn in stages:
+            if _remaining() <= budget_s:
+                detail[name] = {
+                    "skipped": "deadline",
+                    "remaining_s": round(_remaining(), 1),
+                    "needed_s": budget_s,
+                }
+                _emit(result)
+                continue
+            try:
+                detail[name] = fn()
+            except Exception as e:
+                detail[name] = {
+                    "skipped": "error",
+                    "reason": f"{type(e).__name__}: {str(e)[:160]}",
+                }
+            _emit(result)
     return 0
 
 
