@@ -1,8 +1,11 @@
 """Chunk-merge sweep (round-4 forward campaign): can fewer chunk passes
 buy frame time at constant SMEM budget?
 
-The production config walks 4 chunk trees per packet (chunk_tris=250k,
-wide_leaf=32, quant). Every pass re-pays the near-root walk and the
+The ROUND-3 production baseline walked 4 chunk trees per packet
+(chunk_tris=250k, wide_leaf=32, quant); this sweep is what moved
+production to 340k/44 (3 passes) — re-running it A/Bs against the OLD
+constants, not current production. Every pass re-pays the near-root
+walk and the
 packet entry; SMEM caps the per-chunk child table, but n_wide scales
 with chunk_tris / wide_leaf — so doubling BOTH holds the table size
 while halving the number of passes, trading finer leaf granularity
@@ -12,7 +15,7 @@ is coarse (ungated unrolls pay wide_leaf row-rolls per visit even for
 short adaptive leaves).
 
 Cases are (chunk_tris, wide_leaf, block_reads). Parity is checked
-against the production baseline on prim ids (t to 1e-5): chunk
+against the round-3 baseline on prim ids (t to 1e-5): chunk
 boundaries move between configs, so rare exact-t ties at instanced
 geometry may flip prim — counted, not asserted.
 
@@ -73,7 +76,7 @@ def main() -> None:
     tf = jnp.full((n,), 100.0, jnp.float32)
 
     cases = [
-        (250_000, 32, False),   # production baseline
+        (250_000, 32, False),   # round-3 production baseline
         (250_000, 32, True),    # isolate block_reads
         (500_000, 48, True),
         (500_000, 64, True),

@@ -34,9 +34,13 @@ def timeit(f, *a, reps=5):
     t0 = time.perf_counter()
     for _ in range(reps):
         r = f(*a)
+    # Stop the clock at device completion; the host transfer + f64
+    # checksum below is the real-completion guard, not timed work
+    # (ADVICE r4: timing it inflated ms-level stage attribution).
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / reps
     leaf = jax.tree_util.tree_leaves(r)[0]
     chk2 = float(np.sum(np.abs(np.asarray(leaf, np.float64))))
-    dt = (time.perf_counter() - t0) / reps
     assert chk == chk2, (chk, chk2)
     return dt, chk
 

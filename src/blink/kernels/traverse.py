@@ -87,8 +87,20 @@ def traverse_anyhit(o: Array, d: Array, bvh: FlatBVH, t_far: Array, t_min=T_MIN)
     return prim >= 0
 
 
-def _sphere_pass(o: Array, d: Array, scene: Scene, t_min, t_max: Array):
-    """Brute-force analytic sphere pass (spec scenes have <= 8 spheres)."""
+def _sphere_pass(o: Array, d: Array, scene: Scene, t_min, t_max: Array,
+                 use_pallas: bool = False):
+    """Analytic sphere pass (spec scenes have <= 8 spheres): the packet
+    Pallas kernel on the pallas backend, the vmapped jnp form elsewhere
+    (CPU, f64 FD runs, and sphere counts past the kernel's unroll bound).
+    Both produce the same winner under the caller's strict `< t_max`
+    combine (tests/test_intersect.py parity)."""
+    from blink.kernels.sphere import MAX_PALLAS_SPHERES, sphere_pass_pallas
+
+    if use_pallas and scene.n_spheres <= MAX_PALLAS_SPHERES:
+        return sphere_pass_pallas(
+            o, d, scene.spheres.center, scene.spheres.radius, t_max,
+            t_min=t_min,
+        )
     ts = jax.vmap(
         lambda oo, dd, tm: sphere_t(
             oo, dd, scene.spheres.center, scene.spheres.radius, t_min, tm
@@ -115,7 +127,8 @@ def intersect_bvh(
     kind = jnp.where(tri_prim >= 0, KIND_TRI, KIND_NONE).astype(jnp.int32)
     prim = jnp.maximum(tri_prim, 0)
     if scene.n_spheres > 0:
-        s_t, s_prim = _sphere_pass(o, d, scene, T_MIN, best_t)
+        s_t, s_prim = _sphere_pass(o, d, scene, T_MIN, best_t,
+                                   use_pallas=use_pallas)
         s_better = s_t < best_t
         best_t = jnp.where(s_better, s_t, best_t)
         kind = jnp.where(s_better, KIND_SPHERE, kind)
@@ -146,6 +159,7 @@ def occluded_bvh(
     else:
         blocked = traverse_anyhit(o, d, bvh, t_far)
     if scene.n_spheres > 0:
-        s_t, _ = _sphere_pass(o, d, scene, T_MIN, t_far)
+        s_t, _ = _sphere_pass(o, d, scene, T_MIN, t_far,
+                              use_pallas=use_pallas)
         blocked = blocked | (s_t < t_far)
     return jax.lax.stop_gradient(blocked)

@@ -149,3 +149,83 @@ def test_sphere_hit_point_on_surface():
     p = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
     dist = np.linalg.norm(p[hit] - np.asarray(c)[None], axis=-1)
     np.testing.assert_allclose(dist, 1.3, atol=1e-3)
+
+
+def test_sphere_pass_pallas_matches_vmapped():
+    """SURVEY §2 'Ray-sphere kernel: Pallas + JAX': the packet Pallas
+    sphere pass (interpret mode on CPU, Mosaic on TPU) must agree with
+    the vmapped jnp pass under the caller's strict `< t_max` combine —
+    same winners, same t on every strict winner."""
+    import jax
+    import numpy as np
+
+    from blink.kernels.sphere import sphere_pass_pallas, sphere_t
+
+    rng = np.random.default_rng(7)
+    S, N = 8, 700
+    center = jnp.asarray(rng.uniform(-3, 3, (S, 3)), jnp.float32)
+    radius = jnp.asarray(rng.uniform(0.2, 1.5, (S,)), jnp.float32)
+    o = jnp.asarray(rng.uniform(-6, 6, (N, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.asarray(rng.uniform(0.5, 20.0, (N,)), jnp.float32)
+
+    ts = jax.vmap(
+        lambda oo, dd, tm: sphere_t(oo, dd, center, radius, 1e-3, tm)
+    )(o, d, t_max)
+    t_ref = jnp.min(ts, axis=-1)
+    p_ref = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+
+    t_pl, p_pl = sphere_pass_pallas(o, d, center, radius, t_max, t_min=1e-3)
+
+    # The combine both callers apply: a sphere wins iff t < t_max strictly.
+    win_ref = np.asarray(t_ref < t_max)
+    win_pl = np.asarray(t_pl < t_max)
+    np.testing.assert_array_equal(win_pl, win_ref)
+    assert win_ref.any()  # non-vacuous: some rays do hit
+    np.testing.assert_array_equal(
+        np.asarray(p_pl)[win_ref], np.asarray(p_ref)[win_ref]
+    )
+    # identical math, but interpret-mode fusion may differ by an ulp
+    np.testing.assert_allclose(
+        np.asarray(t_pl)[win_ref], np.asarray(t_ref)[win_ref], rtol=1e-5
+    )
+
+
+def test_bvh_backend_sphere_combine_pallas_matches_bvh():
+    """intersect/occluded with spheres + triangle BVH: the pallas backend
+    (Pallas sphere pass + packet traversal, interpret on CPU) must return
+    the same topology as the pure-JAX bvh backend."""
+    import numpy as np
+
+    from blink.api import build_scene
+    from blink.config import get_config
+    from blink.kernels.api import make_backend
+    from blink.render.camera import generate_rays
+    from blink.scene.scene import Spheres
+
+    cfg = get_config("bunny").override(
+        width=32, height=32, bunny_subdiv=2, backend="bvh"
+    )
+    scene = build_scene(cfg)
+    rng = np.random.default_rng(3)
+    v = np.asarray(scene.triangles.verts)
+    lo, hi = v.min(0), v.max(0)
+    c = rng.uniform(lo, hi, (4, 3)).astype(np.float32)
+    r = np.full((4,), 0.25 * float((hi - lo).max()), np.float32)
+    scene = scene.replace(
+        spheres=Spheres(
+            center=jnp.asarray(c), radius=jnp.asarray(r),
+            material_id=jnp.zeros((4,), jnp.int32),
+        )
+    )
+    import jax
+
+    o, d, _ = generate_rays(scene.camera, 32, 32, jax.random.key(0), 0, False)
+    hit_bvh = make_backend("bvh", scene).intersect(o, d, scene)
+    hit_pl = make_backend("pallas", scene).intersect(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(hit_pl.kind), np.asarray(hit_bvh.kind))
+    np.testing.assert_array_equal(np.asarray(hit_pl.prim), np.asarray(hit_bvh.prim))
+    np.testing.assert_allclose(
+        np.asarray(hit_pl.t), np.asarray(hit_bvh.t), rtol=1e-5
+    )
