@@ -387,7 +387,10 @@ def build_wide(bvh: FlatBVH, wide_leaf: int = 32, split_free: bool = False,
                 tile[:m, 10] = np.arange(b0, b0 + m, dtype=np.float32)
                 tiles.append(tile)
     nb = max(len(tiles), 1)
-    brows = -(-nb // 8) * 8
+    # +8 pad rows: the stream leaf mode DMAs a fixed (16,128) window
+    # starting at the leaf's first batch block; a leaf whose batches sit
+    # in the last block must not read past the table.
+    brows = -(-nb // 8) * 8 + 8
     tbat = np.zeros((brows, 128), np.float32)
     for B, tile in enumerate(tiles):
         tbat[8 * (B // 8) : 8 * (B // 8) + 8,

@@ -586,7 +586,20 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
         (WideBVH.tbat), the row's rays broadcast across sublanes, one
         _mt_tri evaluates 8 tris x 128 rays, and a cross-sublane min
         with lowest-slot-on-tie reproduces the sequential kernel's
-        first-slot-wins semantics exactly."""
+        first-slot-wins semantics exactly;
+      "stream" — row-granular gating with tbat resident in HBM: a leaf
+        visit only RECORDS (first batch, cnt, needing-row bitmask) and
+        starts an async DMA of the leaf's (16,128) tbat window into a
+        VMEM double buffer; the PREVIOUS pending leaf is processed (its
+        row bitmask walked by a ctz loop, 8-tris-in-sublanes MT per
+        needing row) while the current leaf's DMA is in flight. The one
+        deferred visit keeps results EXACT: the recorded rows are a
+        superset of the needing set at process time (best_t only
+        tightens), processing order equals visit order (ties resolve
+        identically), and the final pending leaf drains after the walk.
+        This removes the VMEM residency that caps row mode at ~150k-tri
+        chunks (tbat is ~512 B/batch; production 340k chunks need
+        ~25 MB)."""
     groups = min(row_groups, rows)
     GR = rows // groups
     MAX_BATCH = -(-leaf_size // 8)
@@ -595,14 +608,19 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
         if quant:
             # child_ref is the packed i32 table; nbox_ref the dequant
             # frames (WideBVH.nbox docstring).
-            nbox_ref, perm_ref, o_ref, d_ref, tfar_ref, trow_ref = refs[:6]
-            rest = refs[6:]
-        else:
-            perm_ref, o_ref, d_ref, tfar_ref, trow_ref = refs[:5]
+            nbox_ref, perm_ref, o_ref, d_ref, tfar_ref = refs[:5]
             rest = refs[5:]
+        else:
+            perm_ref, o_ref, d_ref, tfar_ref = refs[:4]
+            rest = refs[4:]
+        if leaf_mode != "stream":
+            trow_ref, rest = rest[0], rest[1:]
         if leaf_mode == "row":
             (bref_ref, tbat_ref, t_out_ref, prim_out_ref, stack_ref,
              rowidx_ref) = rest
+        elif leaf_mode == "stream":
+            (bref_ref, tbat_ref, t_out_ref, prim_out_ref, stack_ref,
+             tile_buf, dma_sem, pend_ref) = rest
         else:
             t_out_ref, prim_out_ref, stack_ref = rest
 
@@ -610,7 +628,7 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
             row = trow_ref[pl.ds(s // TRIS_PER_ROW, 1), :]
             return pltpu.roll(row, shift=-(s % TRIS_PER_ROW) * TRI_LANES, axis=1)
 
-        if leaf_mode == "row":
+        if leaf_mode in ("row", "stream"):
             #: (rows,1) per-sublane bit weights for the needing-rows mask.
             #: int32, NOT uint32: Mosaic has no unsigned reductions (the
             #: jnp.sum below failed to lower). Distinct powers of two sum
@@ -640,6 +658,8 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
         t_out_ref[...] = jnp.minimum(tfar_ref[...], T_MAX)
         prim_out_ref[...] = jnp.full((rows, LANES), -1, jnp.int32)
         stack_ref[0] = jnp.int32(0)  # push root
+        if leaf_mode == "stream":
+            pend_ref[3] = jnp.int32(0)  # leaves enqueued so far
 
         def cond(c):
             sp, alive = c
@@ -695,6 +715,8 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
 
             if leaf_mode == "row":
                 _leaf_row(slots, node)
+            elif leaf_mode == "stream":
+                _leaf_stream(slots, node)
             elif leaf_mode == "skip":
                 pass  # TIMING ONLY: walk without leaf tests (wrong hits)
             else:
@@ -846,6 +868,148 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
 
                     jax.lax.fori_loop(0, m, row_body, 0)
 
+        def _ctz(lb):
+            """Index of the (single) set bit of lb — 5-step binary search.
+            Scalar int32 ops only (Mosaic has no scalar ctz/clz); exact
+            for bit 31 (INT_MIN): every mask below has bit31 clear."""
+            r = jnp.int32(0)
+            r += jnp.where((lb & jnp.int32(0x0000FFFF)) == 0, 16, 0)
+            r += jnp.where((lb & jnp.int32(0x00FF00FF)) == 0, 8, 0)
+            r += jnp.where((lb & jnp.int32(0x0F0F0F0F)) == 0, 4, 0)
+            r += jnp.where((lb & jnp.int32(0x33333333)) == 0, 2, 0)
+            r += jnp.where((lb & jnp.int32(0x55555555)) == 0, 1, 0)
+            return r
+
+        def _process_pending(slot):
+            """Wait the pending leaf's DMA and run its row-granular tests
+            from the VMEM tile buffer (see leaf_mode='stream')."""
+            bb = pend_ref[0]
+            cnt = pend_ref[1]
+            row0 = 8 * (bb // 8)
+            pltpu.make_async_copy(
+                tbat_ref.at[pl.ds(row0, 16), :],
+                tile_buf.at[pl.ds(slot * 16, 16), :],
+                dma_sem.at[slot],
+            ).wait()
+            nb = (cnt + 7) // 8
+            loc0 = jax.lax.rem(bb, 8)
+
+            def read_bat(bi):
+                """Batch bi of the pending leaf, rolled to lanes 0-15."""
+                loc = loc0 + bi
+                blk = tile_buf[
+                    pl.ds(slot * 16 + 8 * (loc // 8), 8), :
+                ]
+                return pltpu.roll(blk, shift=-jax.lax.rem(loc, 8) * 16,
+                                  axis=1)
+
+            def row_step(bits):
+                lb = bits & (-bits)
+                r = _ctz(lb)
+                rox = jnp.broadcast_to(o_ref[0, pl.ds(r, 1), :], (8, LANES))
+                roy = jnp.broadcast_to(o_ref[1, pl.ds(r, 1), :], (8, LANES))
+                roz = jnp.broadcast_to(o_ref[2, pl.ds(r, 1), :], (8, LANES))
+                rdx = jnp.broadcast_to(d_ref[0, pl.ds(r, 1), :], (8, LANES))
+                rdy = jnp.broadcast_to(d_ref[1, pl.ds(r, 1), :], (8, LANES))
+                rdz = jnp.broadcast_to(d_ref[2, pl.ds(r, 1), :], (8, LANES))
+                cur_t = t_out_ref[pl.ds(r, 1), :]
+                bt0 = jnp.broadcast_to(cur_t, (8, LANES))
+
+                def mt_batch(bi, bt8):
+                    blk = read_bat(bi)
+                    t8 = _mt_tri(
+                        rox, roy, roz, rdx, rdy, rdz,
+                        blk[:, 0:1], blk[:, 1:2], blk[:, 2:3],
+                        blk[:, 3:4], blk[:, 4:5], blk[:, 5:6],
+                        blk[:, 6:7], blk[:, 7:8], blk[:, 8:9],
+                        t_min, bt8,
+                    )
+                    return t8, blk
+
+                if any_hit:
+                    # Boolean-only shadow semantics; int32 carry (Mosaic
+                    # miscompiles loop-carried i1 vectors — see _leaf_row).
+                    def batch_body(bi, hit):
+                        t8, _ = mt_batch(bi, bt0)
+                        return jnp.maximum(
+                            hit, (t8 < bt0).astype(jnp.int32)
+                        )
+
+                    hit8 = jax.lax.fori_loop(
+                        0, nb, batch_body, jnp.zeros((8, LANES), jnp.int32)
+                    )
+                    hit_any_r = jnp.max(hit8, axis=0, keepdims=True) > 0
+                    cur_p = prim_out_ref[pl.ds(r, 1), :]
+                    prim_out_ref[pl.ds(r, 1), :] = jnp.where(
+                        hit_any_r, jnp.int32(1), cur_p
+                    )
+                    return bits & (bits - 1)
+
+                gid0 = jnp.full((8, LANES), -1.0, jnp.float32)
+                sl0 = jnp.full((8, LANES), 1e9, jnp.float32)
+
+                def batch_body(bi, carry):
+                    bt8, gid8, sl8 = carry
+                    t8, blk = mt_batch(bi, bt8)
+                    win = t8 < bt8
+                    bt8 = jnp.where(win, t8, bt8)
+                    gid8 = jnp.where(win, blk[:, 9:10], gid8)
+                    sl8 = jnp.where(win, blk[:, 10:11], sl8)
+                    return bt8, gid8, sl8
+
+                bt8, gid8, sl8 = jax.lax.fori_loop(
+                    0, nb, batch_body, (bt0, gid0, sl0)
+                )
+                tmin = jnp.min(bt8, axis=0, keepdims=True)
+                is_min = bt8 <= tmin
+                sl_sel = jnp.min(
+                    jnp.where(is_min, sl8, 1e9), axis=0, keepdims=True
+                )
+                gid_sel = jnp.min(
+                    jnp.where(is_min & (sl8 <= sl_sel), gid8, 1e9),
+                    axis=0, keepdims=True,
+                )
+                better = tmin < cur_t
+                t_out_ref[pl.ds(r, 1), :] = jnp.where(better, tmin, cur_t)
+                cur_p = prim_out_ref[pl.ds(r, 1), :]
+                prim_out_ref[pl.ds(r, 1), :] = jnp.where(
+                    better, gid_sel.astype(jnp.int32), cur_p
+                )
+                return bits & (bits - 1)
+
+            jax.lax.while_loop(lambda b: b != 0, row_step, pend_ref[2])
+
+        def _leaf_stream(slots, node):
+            """Enqueue leaf children: start the tbat-window DMA, process
+            the previous pending leaf while it flies (see leaf_mode
+            docstring)."""
+            for k in range(8):
+                hit_k, need, ref, cnt, c8 = slots[k]
+
+                @pl.when(hit_k & (cnt > 0))
+                def _(need=need, cnt=cnt, c8=c8):
+                    bb = bref_ref[node * 8 + c8]
+                    rowneed = jnp.any(need, axis=1, keepdims=True)
+                    bits = jnp.sum(
+                        jnp.where(rowneed, rowbit, jnp.int32(0))
+                    )
+                    pc = pend_ref[3]
+                    slot = jax.lax.rem(pc, 2)
+                    pltpu.make_async_copy(
+                        tbat_ref.at[pl.ds(8 * (bb // 8), 16), :],
+                        tile_buf.at[pl.ds(slot * 16, 16), :],
+                        dma_sem.at[slot],
+                    ).start()
+
+                    @pl.when(pc > 0)
+                    def _():
+                        _process_pending(1 - slot)
+
+                    pend_ref[0] = bb
+                    pend_ref[1] = cnt
+                    pend_ref[2] = bits
+                    pend_ref[3] = pc + 1
+
         def _leaf_group(slots):
             # Leaf children: tested at the parent visit (no stack traffic).
             # Triangle records are read in blocks of 8 slots, each block
@@ -911,6 +1075,11 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                                     prim_out_ref[rs] = pr
 
         jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(True)))
+        if leaf_mode == "stream":
+            # Drain the last pending leaf (its DMA is in flight).
+            @pl.when(pend_ref[3] > 0)
+            def _():
+                _process_pending(jax.lax.rem(pend_ref[3] - 1, 2))
 
     return kernel
 
@@ -966,14 +1135,15 @@ def _traverse_wide_packed(
     o_t, d_t, tf_t = jax.lax.stop_gradient((o_t, d_t, tf_t))
     wide = jax.lax.stop_gradient(wide)
     g = o_t.shape[1] // rows
-    if leaf_mode == "row" and wide.bref is None:
-        raise ValueError("leaf_mode='row' needs a WideBVH built with "
-                         "bref/tbat (rebuild with current bvh.wide)")
-    if leaf_mode == "row" and rows > 32:
+    if leaf_mode in ("row", "stream") and wide.bref is None:
+        raise ValueError(f"leaf_mode='{leaf_mode}' needs a WideBVH built "
+                         "with bref/tbat (rebuild with current bvh.wide)")
+    if leaf_mode in ("row", "stream") and rows > 32:
         # The needing-row compaction packs one bit per row into a single
         # uint32 bitmask (rowbit = 1 << iota(rows)); rows 32+ would be
         # silently dropped from leaf testing (ADVICE r2).
-        raise ValueError(f"leaf_mode='row' supports rows <= 32, got {rows}")
+        raise ValueError(
+            f"leaf_mode='{leaf_mode}' supports rows <= 32, got {rows}")
     quant = bool(getattr(wide, "quant", False))
     kernel = _make_kernel_wide(
         wide.n_wide, wide.leaf_size, t_min, any_hit, wide.block_reads,
@@ -1001,9 +1171,13 @@ def _traverse_wide_packed(
         ray3,
         ray3,
         ray1,
-        whole(wide.trow, pltpu.VMEM),
     ]
-    inputs += [wide.perm, o_t, d_t, tf_t, wide.trow]
+    inputs += [wide.perm, o_t, d_t, tf_t]
+    if leaf_mode != "stream":
+        # stream mode reads triangles only through the tbat DMA windows;
+        # dropping trow frees ~14.5 MB of VMEM at production chunk sizes.
+        in_specs.append(whole(wide.trow, pltpu.VMEM))
+        inputs.append(wide.trow)
     scratch = [pltpu.SMEM((wide.max_stack,), jnp.int32)]
     if leaf_mode == "row":
         in_specs += [
@@ -1012,6 +1186,17 @@ def _traverse_wide_packed(
         ]
         inputs += [wide.bref, wide.tbat]
         scratch.append(pltpu.SMEM((rows,), jnp.int32))  # rowidx scratch
+    elif leaf_mode == "stream":
+        in_specs += [
+            whole(wide.bref, pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tbat stays in HBM
+        ]
+        inputs += [wide.bref, wide.tbat]
+        scratch += [
+            pltpu.VMEM((32, LANES), jnp.float32),  # 2 x (16,128) tiles
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((4,), jnp.int32),  # pending (bb, cnt, bits, count)
+        ]
     vma = _vma_of(o_t, d_t, tf_t, wide.child, wide.trow)
     t_out, prim_out = pl.pallas_call(
         kernel,
@@ -1184,7 +1369,7 @@ CHUNK_TRIS = 120_000
 
 
 def _chunked_sah_trees(tris, leaf_size: int, chunk_tris: int,
-                       order_from=None):
+                       order_from=None, spatial: bool = False):
     """Morton-partition triangles into VMEM-sized chunks; one SAH FlatBVH
     per chunk with GLOBAL triangle ids. Chunks are contiguous Morton
     ranges, hence spatially compact: a packet that misses a chunk's root
@@ -1204,6 +1389,11 @@ def _chunked_sah_trees(tris, leaf_size: int, chunk_tris: int,
     from blink.bvh.sah import build_sah_bvh
     from blink.scene.scene import Triangles
 
+    if spatial:
+        from blink.bvh.sbvh import build_sbvh as _builder
+    else:
+        _builder = build_sah_bvh
+
     v = np.asarray(tris.verts, np.float32)
     idx = np.asarray(tris.idx, np.int64)
     T = idx.shape[0]
@@ -1211,7 +1401,7 @@ def _chunked_sah_trees(tris, leaf_size: int, chunk_tris: int,
         # Binned-SAH trees cut packet node/leaf visits ~15-30% vs the
         # Morton implicit tree (and 2-3x for single rays); the device
         # refit path keeps using Morton trees (bvh.build).
-        return [build_sah_bvh(tris, leaf_size)]
+        return [_builder(tris, leaf_size)]
     cent = (v[idx[:, 0]] + v[idx[:, 1]] + v[idx[:, 2]]) / 3.0
     lo = cent.min(axis=0)
     hi = cent.max(axis=0)
@@ -1229,7 +1419,7 @@ def _chunked_sah_trees(tris, leaf_size: int, chunk_tris: int,
             uv=tris.uv,
             material_id=tris.material_id[sel],
         )
-        bvh = build_sah_bvh(sub, leaf_size)
+        bvh = _builder(sub, leaf_size)
         # Remap local tri ids (positions in `sel`) to global tri ids.
         tid = np.asarray(bvh.tri_id)
         glob = np.where(tid >= 0, sel[np.clip(tid, 0, len(sel) - 1)], -1)
@@ -1258,7 +1448,7 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
                        wide_leaf: int = 32, split_free: bool = False,
                        block_reads: bool = False, uniform: bool = True,
                        quant: bool = False, row_tables: bool = True,
-                       order_from=None):
+                       order_from=None, spatial: bool = False):
     """Chunked WideBVH list for the 8-wide SMEM-node kernel (bvh.wide).
 
     leaf_size is the BINARY SAH leaf (small = best tree quality); wide_leaf
@@ -1279,7 +1469,7 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
                    block_reads=block_reads, quant=quant,
                    row_tables=row_tables)
         for b in _chunked_sah_trees(tris, leaf_size, chunk_tris,
-                                    order_from=order_from)
+                                    order_from=order_from, spatial=spatial)
     ]
     if uniform and len(chunks) > 1:
         chunks = pad_chunks_uniform(chunks)

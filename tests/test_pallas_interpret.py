@@ -153,6 +153,39 @@ def test_wide_rowgate_parity_interpret():
     np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
 
 
+def test_wide_stream_parity_interpret():
+    """leaf_mode='stream' (HBM tbat + DMA double buffer, one-visit
+    deferred row-granular leaf tests) == reference, closest and anyhit,
+    chunked + quantized — the exactness claim of the deferral (rows
+    recorded at visit time are a superset at process time; processing
+    order equals visit order) checked end-to-end."""
+    from blink.kernels.traverse_pallas import (
+        build_chunked_wide,
+        traverse_anyhit_wide,
+        traverse_closest_wide,
+    )
+
+    tris = _random_tris(900, 31)
+    chunks = build_chunked_wide(tris, chunk_tris=450, quant=True,
+                                row_tables=True)
+    bvh = build_flat_bvh(tris)
+    o, d = _random_rays(140, 32)
+    t_ref, p_ref = traverse_closest(o, d, bvh)
+    t_w, p_w = traverse_closest_wide(
+        o, d, chunks, interpret=True, rows=8, leaf_mode="stream"
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_w), np.asarray(t_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_ref))
+    t_far = jnp.full((140,), 5.0, jnp.float32)
+    b_ref = traverse_anyhit(o, d, bvh, t_far)
+    b_w = traverse_anyhit_wide(
+        o, d, chunks, t_far, interpret=True, rows=8, leaf_mode="stream"
+    )
+    np.testing.assert_array_equal(np.asarray(b_w), np.asarray(b_ref))
+
+
 def test_wide_quant_parity_interpret():
     """Quantized-child WideBVH (u8 boxes + per-node dequant frames,
     bvh.wide._quantize_children) == reference. Quantized boxes are only
