@@ -308,6 +308,10 @@ def main() -> int:
     def _stage_fwd_bwd():
         fb = _retry_once(lambda: _fwd_bwd(scene, size))  # FULL size (r3 #5)
         result["rays_per_s_fwd_bwd"] = fb["rays_per_s_fwd_bwd"]
+        # First-class FRAME rate (VERDICT r4 weak #1): what render() as a
+        # whole delivers forward (raygen + traversal + NEE + shading),
+        # vs the traversal-only headline above.
+        result["rays_per_s_fwd_frame"] = (size * size) / fb["fwd_only_wall_s"]
         # Regression guard (VERDICT r3 #9 / r4 weak #2): geometry backward
         # vs forward. Two bounds: the spec's <=3x ("backward at
         # speed-of-light") is a hard breach; best-measured x 1.15 is the

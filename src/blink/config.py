@@ -36,6 +36,13 @@ class RenderConfig:
     # candidates (diff.soft._mesh_soft_radiance); needs soft_sigma > 0.
     soft_mesh: bool = False
     compact: bool = False  # wavefront ray compaction between path bounces
+    # spp-interleaved packet block (render.api.tile_pixel_ids_spp): number
+    # of samples of one pixel packed consecutively inside a cull group.
+    # 0 = auto (4 when spp allows). Higher values trade pixel footprint
+    # for per-pixel sample clustering — at path-tracing bounces a cull
+    # group then covers fewer distinct hit-point clusters, tightening the
+    # packet union of the INCOHERENT bounce traversal.
+    spp_block: int = 0
     ray_chunk: int = 0  # 0 = no chunking; else rays per device pass
     donate: bool = True
 

@@ -892,7 +892,7 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                 dma_sem.at[slot],
             ).wait()
             nb = (cnt + 7) // 8
-            loc0 = jax.lax.rem(bb, 8)
+            loc0 = jax.lax.rem(bb, jnp.int32(8))
 
             def read_bat(bi):
                 """Batch bi of the pending leaf, rolled to lanes 0-15."""
@@ -900,8 +900,9 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                 blk = tile_buf[
                     pl.ds(slot * 16 + 8 * (loc // 8), 8), :
                 ]
-                return pltpu.roll(blk, shift=-jax.lax.rem(loc, 8) * 16,
-                                  axis=1)
+                return pltpu.roll(
+                    blk, shift=-jax.lax.rem(loc, jnp.int32(8)) * 16, axis=1
+                )
 
             def row_step(bits):
                 lb = bits & (-bits)
@@ -994,7 +995,7 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
                         jnp.where(rowneed, rowbit, jnp.int32(0))
                     )
                     pc = pend_ref[3]
-                    slot = jax.lax.rem(pc, 2)
+                    slot = jax.lax.rem(pc, jnp.int32(2))
                     pltpu.make_async_copy(
                         tbat_ref.at[pl.ds(8 * (bb // 8), 16), :],
                         tile_buf.at[pl.ds(slot * 16, 16), :],
@@ -1079,7 +1080,8 @@ def _make_kernel_wide(n_wide: int, leaf_size: int, t_min: float,
             # Drain the last pending leaf (its DMA is in flight).
             @pl.when(pend_ref[3] > 0)
             def _():
-                _process_pending(jax.lax.rem(pend_ref[3] - 1, 2))
+                _process_pending(
+                    jax.lax.rem(pend_ref[3] - 1, jnp.int32(2)))
 
     return kernel
 

@@ -221,8 +221,10 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
     # identical to the per-sample loop; only the f32 accumulation
     # association differs.
     sb = 1
-    if tile is not None and spp % 4 == 0 and h % 32 == 0 and w % 32 == 0:
-        sb = 4
+    if tile is not None and h % 32 == 0 and w % 32 == 0:
+        want = cfg.spp_block if cfg.spp_block else 4
+        if want in (4, 16, 64) and spp % want == 0:
+            sb = want
     if sb > 1:
         pid, sidx = tile_pixel_ids_spp(h, w, sb)
     else:
