@@ -138,14 +138,13 @@ def render_grad(
 
 
 def _drop_stale_shade(backend, param_names):
-    """When triangle vertices are optimized, the backend's precomputed
-    shading table (kernels.api.Backend.shade) would go stale against the
-    merged parameters AND would sever vertex gradients. Clearing it makes
-    diff.hitrefine pack the table in-jit from the live scene —
-    differentiable and never stale (one extra set of T-row gathers per
-    frame)."""
-    if "tri_verts" in param_names and getattr(backend, "shade", None) is not None:
-        return backend.replace(shade=None)
+    """Historical hook (kept for call-site stability): when triangle
+    vertices are optimized, the table's GEOMETRY lanes go stale — but
+    refine's hybrid dirty mode (diff.hitrefine, round-5) now reads only
+    the table's uv/material lanes (which no parameter can change) and
+    re-gathers vertices live, so the table stays useful and vertex
+    gradients flow. Nothing to drop."""
+    del param_names
     return backend
 
 

@@ -85,7 +85,16 @@ def _gather_tri_verts_bwd(res, g):
     i, n_verts = res
     idx = jnp.concatenate([i[:, 0], i[:, 1], i[:, 2]])
     val = jnp.concatenate([g[0], g[1], g[2]], axis=0)
-    return jax.ops.segment_sum(val, idx, num_segments=n_verts), None
+    # Per-COMPONENT scalar segment_sums: a (3N,3)->(V,3) scatter-add
+    # lowers ~3x slower than three (3N,)->(V,) scalar ones on this chip
+    # (benchmarks/segsum_probe.py, 1024², realistic hit indices:
+    # 270 ms vs 87 ms) — the trailing dim defeats the TPU scatter
+    # lowering's vectorization.
+    outs = [
+        jax.ops.segment_sum(val[:, c], idx, num_segments=n_verts)
+        for c in range(3)
+    ]
+    return jnp.stack(outs, axis=-1), None
 
 
 _gather_tri_verts.defvjp(_gather_tri_verts_fwd, _gather_tri_verts_bwd)
@@ -148,13 +157,34 @@ def refine(
 
     if scene.n_triangles > 0:
         tp = jnp.clip(prim, 0, scene.n_triangles - 1)
-        if shade is not None:
+        # Hybrid dirty mode (round-5, bwd_probe3/4: the all-narrow-gather
+        # dirty path cost +80 ms at 1024²): uv and material ids NEVER
+        # change under parameter merges (no param writes them), so even
+        # with dirty geometry they can come from the precomputed f32
+        # table in ONE wide gather; only v0/e1/e2 must be re-gathered
+        # from the live vertex array (the differentiable path). f64 FD
+        # configs skip the hybrid — the f32 table would truncate uv.
+        hybrid = (
+            shade is not None
+            and scene.geom_dirty
+            and scene.triangles.verts.dtype == jnp.float32
+        )
+        if shade is not None and not scene.geom_dirty:
             row = shade[tp]  # ONE wide gather for all triangle attributes
             v0 = row[:, 0:3]
             e1 = row[:, 3:6]
             e2 = row[:, 6:9]
             uv0, duv1, duv2 = row[:, 9:11], row[:, 11:13], row[:, 13:15]
             mat_t = row[:, 15].astype(jnp.int32)
+        elif hybrid:
+            row = shade[tp]
+            uv0, duv1, duv2 = row[:, 9:11], row[:, 11:13], row[:, 13:15]
+            mat_t = row[:, 15].astype(jnp.int32)
+            tris = scene.triangles
+            i = jax.lax.stop_gradient(tris.idx[tp])
+            v0, v1, v2 = _gather_tri_verts(tris.verts, i)
+            e1 = v1 - v0
+            e2 = v2 - v0
         else:
             # Differentiable-geometry mode: narrow per-ray gathers from
             # the live arrays (backward = 3 (N,3)->(V,3) scatters).

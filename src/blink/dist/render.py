@@ -60,13 +60,11 @@ def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> 
         pixel_id = pid0 + tile_pixel_ids(rows, w, *tile)
     else:
         pixel_id = pid0 + jnp.arange(rows * w, dtype=jnp.uint32)
-    # Mirror render.api.render_image: stale-cache clearing (geom_dirty ->
-    # per-ray-gather differentiable mode) or one hoisted pack.
+    # Mirror render.api.render_image: keep the table under geom_dirty
+    # (refine's hybrid mode reads only its static uv/material lanes) or
+    # one hoisted pack for static geometry.
     if scene.n_triangles > 0 and hasattr(backend, "shade"):
-        if scene.geom_dirty:
-            if backend.shade is not None:
-                backend = backend.replace(shade=None)
-        elif backend.shade is None:
+        if not scene.geom_dirty and backend.shade is None:
             from blink.scene.shade import pack_tri_shade
 
             backend = backend.replace(shade=pack_tri_shade(scene.triangles))

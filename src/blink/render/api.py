@@ -202,16 +202,14 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
         if getattr(backend, "name", "") == "pallas" and not soft_mesh
         else None
     )
-    # geom_dirty (set by api.merge_params on vertex swaps): a precomputed
-    # shade table would be stale AND would sever tri_verts gradients —
-    # clear it so diff.hitrefine takes the per-ray-gather path (narrow
-    # scatters in backward; see refine's docstring). Static geometry with
-    # no table yet: pack once here, hoisted out of the spp/bounce loops.
+    # geom_dirty (set by api.merge_params on vertex swaps): the table's
+    # GEOMETRY lanes are stale and would sever tri_verts gradients, but
+    # its uv/material lanes never change under parameter merges — refine
+    # keeps the table for those and re-gathers only live vertices (the
+    # hybrid dirty mode, diff.hitrefine). Static geometry with no table
+    # yet: pack once here, hoisted out of the spp/bounce loops.
     if scene.n_triangles > 0 and hasattr(backend, "shade"):
-        if scene.geom_dirty:
-            if backend.shade is not None:
-                backend = backend.replace(shade=None)
-        elif backend.shade is None:
+        if not scene.geom_dirty and backend.shade is None:
             from blink.scene.shade import pack_tri_shade
 
             backend = backend.replace(shade=pack_tri_shade(scene.triangles))
