@@ -319,7 +319,8 @@ def main() -> int:
         # trips the guard (VERDICT r4 ask #3).
         ratio = fb["bwd_over_fwd_geometry"]
         result["bwd_over_fwd_geometry"] = ratio
-        best_measured = 2.76  # BENCH_r04 (update when backward work lands)
+        best_measured = 2.11  # r5 on-chip (bwd_probe3 after hybrid refine
+        #                       + scalar-component vertex segment_sums)
         if ratio > 3.0:
             result["bwd_guard"] = f"BREACH: bwd/fwd geometry {ratio:.2f} > 3.0"
             sys.stderr.write(result["bwd_guard"] + "\n")
