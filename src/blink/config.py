@@ -90,14 +90,19 @@ PRESETS: dict[str, RenderConfig] = {
         scene="cornell", width=256, height=256, spp=1, integrator="direct"
     ),
     # 4: Sponza-class 1M tris, 2-level BVH, path depth 4, 16 spp, textured.
+    # spp_block=16 + compact: measured +22% on chip at the literal config
+    # (benchmarks/config4_probe.py, 2026-08-21: sb4 424k -> sb16+comp
+    # 517k camera samples/s, identical radiance checksum) — 16-sample
+    # pixel clusters tighten bounce-packet unions and the octant+cell
+    # re-sort then pays where it was a wash at sb4.
     "sponza": RenderConfig(
         scene="sponza", width=512, height=512, spp=16, integrator="path",
-        max_depth=4, backend="auto",
+        max_depth=4, backend="auto", spp_block=16, compact=True,
     ),
     # 5: multi-host pod render, 4096x4096, 64 spp, sharded rays/tiles.
     "pod": RenderConfig(
         scene="sponza", width=4096, height=4096, spp=64, integrator="path",
-        max_depth=4, backend="auto",
+        max_depth=4, backend="auto", spp_block=16, compact=True,
     ),
 }
 

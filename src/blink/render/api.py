@@ -223,6 +223,8 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
         want = cfg.spp_block if cfg.spp_block else 4
         if want in (4, 16, 64) and spp % want == 0:
             sb = want
+        elif spp % 4 == 0:
+            sb = 4  # requested block doesn't divide spp: default block
     if sb > 1:
         pid, sidx = tile_pixel_ids_spp(h, w, sb)
     else:
