@@ -43,6 +43,12 @@ class RenderConfig:
     # group then covers fewer distinct hit-point clusters, tightening the
     # packet union of the INCOHERENT bounce traversal.
     spp_block: int = 0
+    # Russian-roulette path termination: 0 = off; b >= rr_start applies
+    # survival p = clamp(max(throughput), 0.05, 1) with the standard
+    # unbiased 1/p reweighting (render.integrators.li_path). Killed lanes
+    # become zero-cost via the dead-lane cull + compaction. Ignored in
+    # deterministic mode (goldens/FD need noise-free renders).
+    rr_start: int = 0
     ray_chunk: int = 0  # 0 = no chunking; else rays per device pass
     donate: bool = True
 

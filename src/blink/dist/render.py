@@ -76,7 +76,7 @@ def _render_block(scene: Scene, cfg: RenderConfig, backend, row0, rows: int) -> 
         )
         li = render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
-            cfg.deterministic,
+            cfg.deterministic, rr_start=cfg.rr_start,
         )
         return acc + li
 

@@ -39,13 +39,19 @@ class Backend:
     #: go stale w.r.t. the parameters being differentiated).
     shade: Any = None
 
-    def intersect(self, o: Array, d: Array, scene: Scene) -> Hit:
+    def intersect(
+        self, o: Array, d: Array, scene: Scene, alive: Array | None = None
+    ) -> Hit:
+        """Closest hit. `alive`: optional lane mask — dead lanes report the
+        canonical miss on every backend, and on pallas also SKIP the walk
+        (t_far=0 dead-lane cull; see render.integrators.li_path)."""
         if self.name == "brute":
-            return intersect_brute(o, d, scene)
+            return intersect_brute(o, d, scene, alive=alive)
         from blink.kernels.traverse import intersect_bvh
 
         return intersect_bvh(
-            o, d, scene, self.bvh, use_pallas=self.name == "pallas"
+            o, d, scene, self.bvh, use_pallas=self.name == "pallas",
+            alive=alive,
         )
 
     def occluded(self, o: Array, d: Array, scene: Scene, t_far: Array) -> Array:

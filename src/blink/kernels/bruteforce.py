@@ -39,8 +39,12 @@ def _tri_soa(scene: Scene):
 
 
 def intersect_brute(o: Array, d: Array, scene: Scene,
-                    t_min: float = T_MIN, t_max: float = T_MAX) -> Hit:
-    """Closest hit over all primitives. o,d: (N,3) -> Hit of shape (N,)."""
+                    t_min: float = T_MIN, t_max: float = T_MAX,
+                    alive: Array | None = None) -> Hit:
+    """Closest hit over all primitives. o,d: (N,3) -> Hit of shape (N,).
+
+    `alive` mask: dead lanes report the canonical miss (t=T_MAX,
+    kind=NONE, prim=0), matching kernels.traverse.intersect_bvh."""
     n = o.shape[0]
     best_t = jnp.full((n,), T_MAX, jnp.float32)
     best_kind = jnp.full((n,), KIND_NONE, jnp.int32)
@@ -71,6 +75,10 @@ def intersect_brute(o: Array, d: Array, scene: Scene,
         best_kind = jnp.where(upd, KIND_TRI, best_kind)
         best_prim = jnp.where(upd, jnp.asarray(tr_prim, jnp.int32), best_prim)
 
+    if alive is not None:
+        best_t = jnp.where(alive, best_t, T_MAX)
+        best_kind = jnp.where(alive, best_kind, KIND_NONE)
+        best_prim = jnp.where(alive, best_prim, 0)
     return Hit(
         t=jax.lax.stop_gradient(best_t),
         kind=best_kind,

@@ -111,28 +111,50 @@ def _sphere_pass(o: Array, d: Array, scene: Scene, t_min, t_max: Array,
 
 
 def intersect_bvh(
-    o: Array, d: Array, scene: Scene, bvh: FlatBVH, use_pallas: bool = False
+    o: Array, d: Array, scene: Scene, bvh: FlatBVH, use_pallas: bool = False,
+    alive: Array | None = None,
 ) -> Hit:
-    """Closest hit over triangle BVH + analytic spheres."""
+    """Closest hit over triangle BVH + analytic spheres.
+
+    `alive` (optional bool mask): lanes marked dead report a miss. On the
+    Pallas backend dead lanes also SKIP the walk (t_far=0 fails every slab
+    test; compaction-sunk dead tails skip whole cull groups) — the bounce-
+    wavefront cull of render.integrators.li_path. All backends return the
+    identical Hit for dead lanes (t=T_MAX, kind=NONE), so parity suites
+    cover the masked form unchanged."""
     if use_pallas:
         from blink.kernels.traverse_pallas import traverse_closest_chunked
 
+        tf = None
+        if alive is not None:
+            tf = jnp.where(alive, T_MAX, 0.0).astype(jnp.float32)
         tri_t, tri_prim = traverse_closest_chunked(
-            o, d, bvh if isinstance(bvh, list) else [bvh]
+            o, d, bvh if isinstance(bvh, list) else [bvh], t_far=tf
         )
     else:
         tri_t, tri_prim = traverse_closest(o, d, bvh)
+        if alive is not None:
+            tri_prim = jnp.where(alive, tri_prim, -1)
     n = o.shape[0]
     best_t = tri_t
     kind = jnp.where(tri_prim >= 0, KIND_TRI, KIND_NONE).astype(jnp.int32)
     prim = jnp.maximum(tri_prim, 0)
     if scene.n_spheres > 0:
+        if alive is not None:
+            # Dead lanes must not pick up sphere hits (pallas threads
+            # t_far=0 so its sphere t_max is already 0; mirror that here).
+            best_t = jnp.where(alive, best_t, 0.0)
         s_t, s_prim = _sphere_pass(o, d, scene, T_MIN, best_t,
                                    use_pallas=use_pallas)
         s_better = s_t < best_t
         best_t = jnp.where(s_better, s_t, best_t)
         kind = jnp.where(s_better, KIND_SPHERE, kind)
         prim = jnp.where(s_better, s_prim, prim)
+    if alive is not None:
+        # Canonical dead-lane Hit, identical across backends/paths.
+        best_t = jnp.where(alive, best_t, T_MAX)
+        kind = jnp.where(alive, kind, KIND_NONE)
+        prim = jnp.where(alive, prim, 0)
     return Hit(
         t=jax.lax.stop_gradient(best_t),
         kind=kind,

@@ -1550,6 +1550,7 @@ def traverse_closest_wide(
     o: Array, d: Array, chunks, t_min: float = T_MIN,
     interpret: bool | None = None, rows: int = RAY_ROWS,
     row_groups: int = ROW_GROUPS, leaf_mode: str = "group",
+    t_far: Array | None = None,
 ):
     """Closest hit over a list of WideBVH chunks (multi-pass, threaded
     best t — same exact semantics as traverse_closest_chunked).
@@ -1557,9 +1558,16 @@ def traverse_closest_wide(
     Rays are packed to the kernel's (3, G*rows, 128) layout ONCE and the
     running best t/prim are threaded between chunks in packed form: all
     inter-chunk glue is then fusable elementwise, and the only relayout
-    ops are one pack + one unpack per frame (see _traverse_wide_packed)."""
+    ops are one pack + one unpack per frame (see _traverse_wide_packed).
+
+    `t_far` (optional, per-ray) bounds the search: hits are only reported
+    strictly below it. t_far=0 lanes fail every slab test, so dead bounce
+    rays in a wavefront cost one root visit instead of a full walk — and
+    a cull group whose rays are ALL dead (compaction sinks dead rays to
+    the tail) skips the entire tree."""
     n = o.shape[0]
-    t_far = jnp.full((n,), T_MAX, jnp.float32)
+    if t_far is None:
+        t_far = jnp.full((n,), T_MAX, jnp.float32)
     o_t, d_t, tf_t, _ = _pack_rays(o, d, t_far, rows=rows)
     best_t = tf_t
     best_prim = jnp.full(tf_t.shape, -1, jnp.int32)
@@ -1601,22 +1609,30 @@ def traverse_anyhit_wide(
 def traverse_closest_chunked(
     o: Array, d: Array, chunks, t_min: float = T_MIN,
     interpret: bool | None = None, variant: str = CLOSEST_VARIANT,
+    t_far: Array | None = None,
 ):
     """Closest hit over a list of chunk BVHs: sequential passes threading
     the running best t as each pass's t_far (exact: each chunk's walk is
     culled by hits found in previous chunks). Chunks may be BVHPacked
     (binary lane-slot kernels, per `variant`) or WideBVH (8-wide SMEM-node
-    kernel) — the production pallas backend ships wide chunks."""
+    kernel) — the production pallas backend ships wide chunks.
+
+    Optional per-ray `t_far` bounds the search (see traverse_closest_wide:
+    t_far=0 == dead-lane cull for bounce wavefronts)."""
     from blink.bvh.wide import WideBVH
 
     if chunks and isinstance(chunks[0], WideBVH):
         # Packed-layout threading (one relayout per frame, not per chunk).
         return traverse_closest_wide(
             o, d, chunks, t_min=t_min, interpret=interpret,
-            leaf_mode=_default_leaf_mode(chunks[0]),
+            leaf_mode=_default_leaf_mode(chunks[0]), t_far=t_far,
         )
     n = o.shape[0]
-    best_t = jnp.full((n,), T_MAX, jnp.float32)
+    best_t = (
+        jnp.full((n,), T_MAX, jnp.float32)
+        if t_far is None
+        else jnp.broadcast_to(jnp.asarray(t_far, jnp.float32), (n,))
+    )
     best_prim = jnp.full((n,), -1, jnp.int32)
     for packed in chunks:
         t, prim = _traverse_pallas(

@@ -30,6 +30,7 @@ def render_rays(
     compact: bool = False,
     soft_sigma: float = 0.0,
     soft_hw: "tuple[int, int] | None" = None,
+    rr_start: int = 0,
 ) -> Array:
     """Radiance for an arbitrary ray batch (the unit the wavefront shards).
 
@@ -37,7 +38,8 @@ def render_rays(
     in row-major pixel order; see diff.soft)."""
     if integrator == "path":
         return li_path(
-            o, d, keys, scene, backend, max_depth, deterministic, compact
+            o, d, keys, scene, backend, max_depth, deterministic, compact,
+            rr_start=rr_start,
         )
     if soft_sigma > 0.0:
         from blink.diff.soft import li_direct_soft
@@ -240,7 +242,7 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
         return render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
             cfg.deterministic, cfg.compact, cfg.soft_sigma,
-            soft_hw if tile is None else None,
+            soft_hw if tile is None else None, cfg.rr_start,
         )
 
     def one_batch(bi):
@@ -251,6 +253,7 @@ def render_image(scene: Scene, cfg: RenderConfig, backend) -> Array:
         li = render_rays(
             o, d, pkeys, scene, backend, cfg.integrator, cfg.max_depth,
             cfg.deterministic, cfg.compact, cfg.soft_sigma, None,
+            cfg.rr_start,
         )
         return li.reshape(-1, sb, 3).sum(axis=1)
 

@@ -38,6 +38,15 @@ RAY_EPS = 1e-3
 #: estimator's expectation; flip for variance experiments.
 NEE_SHARE_ROW = True
 
+#: bounce-wavefront dead-lane cull (round 5): pass the alive mask into the
+#: closest-hit so dead lanes (escaped / zero-throughput paths — 37%+ of
+#: lanes from bounce 1 on the headline scene) skip the walk via t_far=0
+#: instead of re-tracing their stale ray at full cost. EXACT: dead-lane
+#: contributions were always masked out of the radiance sum; this only
+#: removes the work (test_path_dead_lane_cull_exact asserts bit-identical
+#: radiance). Module switch for A/B probes only.
+CULL_DEAD = True
+
 #: fixed barycentrics that place a triangle-light sample at its centroid
 #: (u1 = 4/9, u2 = 1/2 under the sqrt warp). Used by deterministic mode and
 #: mirrored exactly by the numpy oracle (blink.ref.renderer).
@@ -172,6 +181,7 @@ def li_path(
     max_depth: int = 4,
     deterministic: bool = False,
     compact: bool = False,
+    rr_start: int = 0,
 ) -> Array:
     """Path tracing to `max_depth` with NEE at each vertex (config 4).
 
@@ -181,12 +191,24 @@ def li_path(
     and live rays regain spatial coherence for the Pallas packet kernel.
     RNG keys travel with the rays (counter-based on pixel id), so the
     image is identical with or without compaction.
-    """
+
+    rr_start > 0 enables Russian-roulette termination at the end of every
+    bounce b >= rr_start: a path survives with p = clamp(max(beta), .05, 1)
+    and its throughput is divided by p — the standard unbiased estimator
+    (E[beta'·X] = p·(beta/p)·X = beta·X). Killed lanes are then zero-cost:
+    CULL_DEAD + compaction turn them into skipped cull groups. Off (0) by
+    default and forced off in deterministic mode (goldens/FD need smooth,
+    noise-free renders); the stochastic production presets (config 4/5)
+    opt in. Mean-consistency is measured, not argued:
+    tests/test_estimators.py::test_russian_roulette_mean_consistency."""
     n = o.shape[0]
+    use_rr = rr_start > 0 and not deterministic
 
     def body(b, state):
         o, d, beta, radiance, alive, keys, ray_ix = state
-        hit = backend.intersect(o, d, scene)
+        hit = backend.intersect(
+            o, d, scene, alive=alive if CULL_DEAD else None
+        )
         geom = refine(o, d, hit, scene, shade=getattr(backend, "shade", None))
         alive = alive & geom.valid
 
@@ -208,6 +230,21 @@ def li_path(
         beta = beta * geom.albedo
         # Kill paths with (near-)zero throughput (emitters have albedo 0).
         alive = alive & (jnp.max(beta, axis=-1) > 1e-5)
+        if use_rr:
+            # Russian roulette (dim=2 of the bounce stream; dims 0/1 are
+            # NEE and cosine sampling). `b` is a traced loop index, so the
+            # gate is a lax.select, not Python control flow.
+            bk_rr = jax.vmap(lambda k: sampler.bounce_key(k, b))(
+                keys[..., :2]
+            )
+            u_rr = jax.vmap(lambda k: sampler.uniform(k, (1,), dim=2))(
+                bk_rr
+            )[:, 0]
+            p = jnp.clip(jnp.max(beta, axis=-1), 0.05, 1.0)
+            do_rr = b >= rr_start
+            survive = jnp.logical_or(~do_rr, u_rr < p)
+            beta = beta * jnp.where(do_rr, 1.0 / p, 1.0)[..., None]
+            alive = alive & survive
         o = jnp.where(alive[..., None], new_o, o)
         d = jnp.where(alive[..., None], new_d, d)
 

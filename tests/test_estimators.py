@@ -81,3 +81,106 @@ def test_nee_share_row_mean_consistency():
         return np.abs(d).mean()
 
     assert block_corr(on_a, on_b) > block_corr(off_a, off_b)
+
+
+def test_path_dead_lane_cull_exact():
+    """CULL_DEAD bounce culling is EXACT, not statistical: dead-lane
+    contributions were always masked out of li_path's radiance sum, so
+    skipping their walks (alive -> t_far=0) must be bit-identical on a
+    stochastic path render with escaped rays + emitter-killed paths."""
+    from blink.kernels.api import make_backend
+
+    cfg = get_config("cornell").override(
+        width=16, height=16, spp=4, deterministic=False, backend="brute",
+        integrator="path", max_depth=4,
+    )
+    scene = build_scene(cfg)
+    backend = make_backend("brute", scene)
+    old = integrators.CULL_DEAD
+    try:
+        integrators.CULL_DEAD = True
+        img_on = np.asarray(render_image(scene, cfg, backend))
+        integrators.CULL_DEAD = False
+        img_off = np.asarray(render_image(scene, cfg, backend))
+    finally:
+        integrators.CULL_DEAD = old
+    assert img_on.max() > 0.01  # non-vacuous
+    np.testing.assert_array_equal(img_on, img_off)
+
+
+def test_intersect_alive_mask_parity():
+    """All backends return the canonical dead-lane miss, and live lanes
+    are untouched by the mask (bvh vs brute vs no-mask)."""
+    import jax.numpy as jnp
+
+    from blink.kernels.api import make_backend
+
+    cfg = get_config("cornell").override(backend="brute")
+    scene = build_scene(cfg)
+    brute = make_backend("brute", scene)
+    bvh = make_backend("bvh", scene)
+    rng = np.random.default_rng(7)
+    n = 256
+    o = jnp.asarray(rng.normal(0, 0.5, (n, 3)), jnp.float32)
+    d0 = rng.normal(size=(n, 3))
+    d = jnp.asarray(d0 / np.linalg.norm(d0, axis=-1, keepdims=True),
+                    jnp.float32)
+    alive = jnp.asarray(rng.random(n) < 0.6)
+
+    h_none = brute.intersect(o, d, scene)
+    h_brute = brute.intersect(o, d, scene, alive=alive)
+    h_bvh = bvh.intersect(o, d, scene, alive=alive)
+    am = np.asarray(alive)
+    for h in (h_brute, h_bvh):
+        # Dead lanes: canonical miss.
+        assert np.all(np.asarray(h.kind)[~am] == 0)
+        assert np.all(np.asarray(h.prim)[~am] == 0)
+        # Live lanes: identical to the unmasked brute result.
+        np.testing.assert_array_equal(
+            np.asarray(h.kind)[am], np.asarray(h_none.kind)[am]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h.prim)[am], np.asarray(h_none.prim)[am]
+        )
+        np.testing.assert_allclose(
+            np.asarray(h.t)[am], np.asarray(h_none.t)[am], rtol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_russian_roulette_mean_consistency():
+    """rr_start termination is unbiased: high-spp path renders with RR on
+    vs off must agree in the mean within the self-calibrated CLT bound
+    (same discipline as the NEE-share test above). A wrong 1/p factor
+    shifts indirect radiance by O(signal)."""
+    from blink.kernels.api import make_backend
+
+    base = get_config("cornell").override(
+        width=32, height=32, spp=256, deterministic=False, backend="brute",
+        integrator="path", max_depth=4,
+    )
+    scene = build_scene(base)
+    backend = make_backend("brute", scene)
+    seeds = (5, 17)
+
+    def renders(rr):
+        cfg = base.override(rr_start=rr)
+        return [
+            np.asarray(render_image(scene, cfg.override(seed=s), backend))
+            for s in seeds
+        ]
+
+    on_a, on_b = renders(1)
+    off_a, off_b = renders(0)
+    on_mean = 0.5 * (on_a + on_b)
+    off_mean = 0.5 * (off_a + off_b)
+    noise = max(np.abs(on_a - on_b).mean(), np.abs(off_a - off_b).mean())
+    diff = np.abs(on_mean - off_mean).mean()
+    assert diff < 2.0 * noise + 1e-5, (
+        f"mean diff {diff:.5f} exceeds CLT bound 2*{noise:.5f} — "
+        f"russian roulette is biased"
+    )
+    assert on_mean.max() > 0.05 and off_mean.max() > 0.05
+    # RR raises variance (that is the trade): its seed spread should be
+    # >= the plain estimator's (sanity that RR actually engaged).
+    assert np.abs(on_a - on_b).mean() >= 0.5 * np.abs(off_a - off_b).mean()
