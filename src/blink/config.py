@@ -101,14 +101,20 @@ PRESETS: dict[str, RenderConfig] = {
     # 517k camera samples/s, identical radiance checksum) — 16-sample
     # pixel clusters tighten bounce-packet unions and the octant+cell
     # re-sort then pays where it was a wash at sb4.
+    # rr_start=1 + dead-lane cull (round 5): 518 -> 725 k samples/s on
+    # chip (benchmarks/cull_rr_probe.py 2026-08-21: cull +7.2% EXACT —
+    # identical checksum; RR 1.31x on top, unbiased — CPU CLT test +
+    # on-chip image-mean agreement 1.5e-4).
     "sponza": RenderConfig(
         scene="sponza", width=512, height=512, spp=16, integrator="path",
         max_depth=4, backend="auto", spp_block=16, compact=True,
+        rr_start=1,
     ),
     # 5: multi-host pod render, 4096x4096, 64 spp, sharded rays/tiles.
     "pod": RenderConfig(
         scene="sponza", width=4096, height=4096, spp=64, integrator="path",
         max_depth=4, backend="auto", spp_block=16, compact=True,
+        rr_start=1,
     ),
 }
 
